@@ -1,0 +1,131 @@
+"""Advance operator: frontier neighbor expansion, TPU style.
+
+The reference's advance is a zoo of CUDA load-balancing kernels
+(``oprtr/advance/kernel.cuh`` dispatching TWC/LB/LB_CULL variants; the LB
+path does degree-count + ModernGPU scan in ``ComputeOutputLength``
+(``kernel.cuh:76-182``) then per-thread binary search over scanned offsets
+in ``RelaxPartitionedEdges2`` (``oprtr/edge_map_partitioned/kernel.cuh:185``)).
+
+The TPU formulation collapses all of that into one static-shape dataflow:
+
+    degrees = row_offsets[f+1] - row_offsets[f]        (gather)
+    ends    = cumsum(degrees)                          (scan)
+    rank    = searchsorted(ends, iota(out_cap))        (vectorized merge-path)
+    eid     = row_offsets[f[rank]] + (i - start(rank))
+    dst     = col_indices[eid]                         (gather)
+
+Every output lane independently binary-searches which frontier segment it
+falls in — the exact same work assignment as the reference's merge-path LB
+kernels, but expressed as dense vector ops the VPU executes at HBM
+bandwidth. There is no TWC-vs-LB distinction to make: lanes are
+load-balanced by construction.
+
+Push (CSR) and pull (CSC, full-edge) variants are both provided; direction
+optimization picks between them per iteration (``app/bfs/bfs_enactor.cuh:852``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.device import DeviceGraph
+
+__all__ = ["ExpandedEdges", "expand", "expand_inverse", "pull_reduce"]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["src", "dst", "eid", "rank", "mask", "total"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class ExpandedEdges:
+    """One (src -> dst) record per output lane of an advance.
+
+    ``rank`` is the frontier slot that produced the lane (the reference's
+    ``input_pos`` in the functor contract, ``oprtr/advance_base.cuh:37``);
+    ``total`` is the true number of active lanes (``output_length`` in
+    ``ComputeOutputLength``) — lanes >= total have ``mask=False``.
+    ``total`` may exceed the static capacity: callers surface that as an
+    overflow diagnostic (reference ``Check_Size``, ``enactor_helper.cuh:103``).
+    """
+
+    src: jax.Array     # (out_cap,) int32
+    dst: jax.Array     # (out_cap,) int32
+    eid: jax.Array     # (out_cap,) int32   edge id into col_indices
+    rank: jax.Array    # (out_cap,) int32   frontier slot
+    mask: jax.Array    # (out_cap,) bool
+    total: jax.Array   # ()        int32
+
+
+def _expand_csr(row_offsets: jax.Array, col_indices: jax.Array,
+                frontier: jax.Array, n: jax.Array,
+                out_cap: int) -> ExpandedEdges:
+    cin = frontier.shape[0]
+    lane_in = jnp.arange(cin, dtype=jnp.int32)
+    valid = lane_in < n
+    f = jnp.where(valid, frontier, 0)
+    start = row_offsets[f]
+    deg = jnp.where(valid, row_offsets[f + 1] - start, 0)
+    ends = jnp.cumsum(deg)                     # inclusive scan
+    total = ends[-1] if cin > 0 else jnp.int32(0)
+
+    j = jnp.arange(out_cap, dtype=jnp.int32)
+    # Which frontier segment does output lane j land in? searchsorted over
+    # the scanned degrees == the reference's per-thread binary search
+    # (edge_map_partitioned/kernel.cuh:309-331).
+    rank = jnp.searchsorted(ends, j, side="right").astype(jnp.int32)
+    rank_c = jnp.minimum(rank, cin - 1)
+    seg_end = ends[rank_c]
+    seg_start = seg_end - deg[rank_c]
+    eid = start[rank_c] + (j - seg_start)
+    mask = j < total
+    eid_c = jnp.where(mask, eid, 0)
+    dst = jnp.where(mask, col_indices[eid_c], 0)
+    src = jnp.where(mask, f[rank_c], 0)
+    return ExpandedEdges(src=src, dst=dst, eid=eid_c, rank=rank_c,
+                         mask=mask, total=total)
+
+
+def expand(graph: DeviceGraph, frontier: jax.Array, n: jax.Array,
+           out_cap: int) -> ExpandedEdges:
+    """Push-mode advance (V2V/V2E over the forward CSR)."""
+    return _expand_csr(graph.row_offsets, graph.col_indices, frontier, n, out_cap)
+
+
+def expand_inverse(graph: DeviceGraph, frontier: jax.Array, n: jax.Array,
+                   out_cap: int) -> ExpandedEdges:
+    """Advance over the inverse CSR: expands *in*-neighbors of the frontier
+    (reference TWC/LB backward over ``column_offsets/row_indices``,
+    ``oprtr/edge_map_backward/``). ``dst`` lanes are in-neighbor sources."""
+    assert graph.has_csc, "graph was loaded without with_csc=True"
+    return _expand_csr(graph.csc_offsets, graph.csc_indices, frontier, n, out_cap)
+
+
+def pull_reduce(graph: DeviceGraph, edge_vals: jax.Array, *,
+                op: str = "sum") -> jax.Array:
+    """Full-edge pull: reduce per-in-edge values into each destination.
+
+    ``edge_vals`` is indexed by CSC edge slot (same order as
+    ``graph.csc_indices``); returns a (v_pad,) per-vertex reduction.
+    This is the TPU replacement for pull-mode advance + SegReduceCsr —
+    segment ids (``csc_edge_dst``) are sorted, so XLA lowers this to a
+    contiguous segmented reduction.
+    """
+    assert graph.has_csc
+    num_segments = graph.v_pad
+    seg = graph.csc_edge_dst
+    if op == "sum":
+        return jax.ops.segment_sum(edge_vals, seg, num_segments,
+                                   indices_are_sorted=True)
+    if op == "max":
+        return jax.ops.segment_max(edge_vals, seg, num_segments,
+                                   indices_are_sorted=True)
+    if op == "min":
+        return jax.ops.segment_min(edge_vals, seg, num_segments,
+                                   indices_are_sorted=True)
+    raise ValueError(f"unknown op {op!r}")

@@ -1,0 +1,62 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; like the reference's
+``--device=0,0`` trick (two logical GPUs on one physical device,
+``CMakeLists.txt:389-421``), we test sharding against
+``--xla_force_host_platform_device_count=8`` CPU devices.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+import gunrock_tpu as gt  # noqa: E402
+
+REFERENCE_SMALL = "/root/reference/dataset/small"
+REFERENCE_EXAMPLE = "/root/reference/simple_example"
+
+
+def reference_dataset(name: str):
+    """Path to a bundled reference dataset, or skip if unavailable."""
+    for base in (REFERENCE_SMALL, REFERENCE_EXAMPLE):
+        p = os.path.join(base, name)
+        if os.path.exists(p):
+            return p
+    pytest.skip(f"reference dataset {name} not available")
+
+
+@pytest.fixture(scope="session")
+def chesapeake():
+    """The reference ctest graph (dataset/small/chesapeake.mtx)."""
+    return gt.io.load_market(reference_dataset("chesapeake.mtx"),
+                             undirected=True, use_cache=False)
+
+
+@pytest.fixture(scope="session")
+def bips98():
+    """The reference simple_example graph (bips98_606.mtx)."""
+    return gt.io.load_market(reference_dataset("bips98_606.mtx"),
+                             undirected=True, use_cache=False)
+
+
+@pytest.fixture(scope="session")
+def rmat_small():
+    """Deterministic small scale-free graph for oracle tests."""
+    return gt.io.rmat(scale=10, edge_factor=8, seed=42, undirected=True)
+
+
+@pytest.fixture(scope="session")
+def road_like():
+    """Deterministic high-diameter graph (grid), exercising deep BFS."""
+    n = 32
+    idx = np.arange(n * n).reshape(n, n)
+    src = np.concatenate([idx[:, :-1].ravel(), idx[:-1, :].ravel()])
+    dst = np.concatenate([idx[:, 1:].ravel(), idx[1:, :].ravel()])
+    return gt.from_coo(n * n, src, dst, undirected=True)

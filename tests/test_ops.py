@@ -1,0 +1,86 @@
+"""Operator layer tests: advance / filter / segment primitives."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import gunrock_tpu as gt
+from gunrock_tpu.ops import (compact, dedup_winners, expand,
+                             frontier_from_mask, mask_from_frontier)
+
+
+def _star_plus_chain():
+    # 0 -> {1,2,3}, 1 -> {4}, 4 -> {}
+    return gt.to_device(
+        gt.from_coo(5, [0, 0, 0, 1], [1, 2, 3, 4]), with_csc=True)
+
+
+def test_expand_basic():
+    d = _star_plus_chain()
+    frontier = jnp.zeros(8, jnp.int32).at[0].set(0).at[1].set(1)
+    ex = expand(d, frontier, jnp.int32(2), out_cap=16)
+    assert int(ex.total) == 4
+    mask = np.asarray(ex.mask)
+    assert mask[:4].all() and not mask[4:].any()
+    assert np.asarray(ex.dst)[:4].tolist() == [1, 2, 3, 4]
+    assert np.asarray(ex.src)[:4].tolist() == [0, 0, 0, 1]
+    assert np.asarray(ex.rank)[:4].tolist() == [0, 0, 0, 1]
+
+
+def test_expand_empty_and_zero_degree():
+    d = _star_plus_chain()
+    frontier = jnp.zeros(8, jnp.int32).at[0].set(4)  # degree 0 vertex
+    ex = expand(d, frontier, jnp.int32(1), out_cap=16)
+    assert int(ex.total) == 0
+    ex2 = expand(d, frontier, jnp.int32(0), out_cap=16)
+    assert int(ex2.total) == 0
+
+
+def test_expand_overflow_reports_total():
+    d = _star_plus_chain()
+    frontier = jnp.zeros(8, jnp.int32)
+    ex = expand(d, frontier, jnp.int32(1), out_cap=2)  # deg(0)=3 > 2
+    assert int(ex.total) == 3
+    assert int(np.asarray(ex.mask).sum()) == 2
+
+
+def test_expand_inverse():
+    d = _star_plus_chain()
+    frontier = jnp.zeros(8, jnp.int32).at[0].set(4)
+    ex = expand_inverse = gt.ops.expand_inverse(d, frontier, jnp.int32(1), 16)
+    assert int(ex.total) == 1
+    assert np.asarray(ex.dst)[0] == 1  # in-neighbor of 4 is 1
+
+
+def test_dedup_winners_exact():
+    idx = jnp.asarray([3, 5, 3, 3, 5, 7], jnp.int32)
+    mask = jnp.asarray([1, 1, 1, 1, 1, 0], jnp.bool_)
+    keep = np.asarray(dedup_winners(idx, mask, 8))
+    assert keep.sum() == 2  # one winner each for 3 and 5; 7 masked out
+    kept_vals = np.asarray(idx)[keep]
+    assert sorted(kept_vals.tolist()) == [3, 5]
+
+
+def test_compact():
+    vals = jnp.asarray([10, 11, 12, 13], jnp.int32)
+    mask = jnp.asarray([1, 0, 1, 1], jnp.bool_)
+    out, cnt = compact(vals, mask, cap=8, fill=-1)
+    assert int(cnt) == 3
+    assert np.asarray(out)[:3].tolist() == [10, 12, 13]
+    assert np.asarray(out)[3] == -1
+
+
+def test_mask_frontier_roundtrip():
+    mask = jnp.asarray([0, 1, 0, 1, 1, 0, 0, 0], jnp.bool_)
+    frontier, n = frontier_from_mask(mask, cap=8)
+    assert int(n) == 3
+    back = mask_from_frontier(frontier, n, 8)
+    assert np.array_equal(np.asarray(back), np.asarray(mask))
+
+
+def test_pull_reduce_sum():
+    d = _star_plus_chain()
+    ones = jnp.ones((d.e_pad,), jnp.float32)
+    # mask padded csc slots: only first num_edges are real
+    vals = jnp.where(jnp.arange(d.e_pad) < d.num_edges, ones, 0.0)
+    indeg = np.asarray(gt.ops.pull_reduce(d, vals, op="sum"))
+    assert indeg[:5].tolist() == [0.0, 1.0, 1.0, 1.0, 1.0]

@@ -225,6 +225,8 @@ def bfs(graph: Union[CsrGraph, DeviceGraph], src: Union[int, str] = 0, *,
     else:
         dgraph = graph
     src = int(src)
+    if not 0 <= src < num_nodes:
+        raise ValueError(f"src {src} out of range [0, {num_nodes})")
 
     with timer.time("process_ms"):
         labels, preds, stats = jax.block_until_ready(

@@ -1,0 +1,90 @@
+"""HITS (hubs & authorities).
+
+TPU-native rebuild of the reference HITS primitive
+(``gunrock/app/hits/hits_enactor.cuh:158-311``): per iteration an advance
+over the CSR updates authority scores from hubs and an advance over the
+CSC updates hub scores from authorities, ping-ponging curr/next buffers
+(the reference's "NormalizeRank" only swaps+zeroes, ``:93-113``).
+
+Both updates are sorted segmented sums here. We additionally max-normalize
+each vector per iteration (the reference's raw sums grow as
+``lambda_max^k`` and overflow fp32 for larger iteration counts; relative
+ordering — the primitive's output of interest — is unchanged).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..enactor import Timer
+from ..graph.csr import CsrGraph
+from ..graph.device import DeviceGraph, to_device
+from ..utils.info import make_info
+
+__all__ = ["hits", "HitsResult", "hits_device"]
+
+
+@dataclasses.dataclass
+class HitsResult:
+    hubs: np.ndarray    # (V,) float32
+    auths: np.ndarray   # (V,) float32
+    info: dict
+
+
+def _hits_loop(graph: DeviceGraph, max_iters: jax.Array):
+    v_pad = graph.v_pad
+    vmask = jnp.arange(v_pad, dtype=jnp.int32) < graph.num_nodes
+    hub0 = jnp.where(vmask, 1.0, 0.0).astype(jnp.float32)
+    auth0 = hub0
+    # Forward edge segment ids (per-CSR-edge source) for hub updates.
+    src_seg = graph.edge_src
+
+    def body(i, carry):
+        hub, auth = carry
+        # auth[v] = sum of hub over in-neighbors (advance over CSC).
+        auth = jax.ops.segment_sum(hub[graph.csc_indices],
+                                   graph.csc_edge_dst, v_pad,
+                                   indices_are_sorted=True)
+        auth = auth / jnp.maximum(jnp.max(auth), 1e-12)
+        # hub[u] = sum of auth over out-neighbors (advance over CSR).
+        hub = jax.ops.segment_sum(auth[graph.col_indices], src_seg, v_pad,
+                                  indices_are_sorted=True)
+        hub = hub / jnp.maximum(jnp.max(hub), 1e-12)
+        return hub, auth
+
+    hub, auth = jax.lax.fori_loop(0, max_iters, body, (hub0, auth0))
+    return hub, auth
+
+
+_hits_jit = jax.jit(_hits_loop)
+
+
+def hits_device(graph: DeviceGraph, max_iters: int = 50):
+    if not graph.has_csc or graph.edge_src is None:
+        raise ValueError("HITS needs to_device(with_csc=True, with_edge_src=True)")
+    return _hits_jit(graph, jnp.int32(max_iters))
+
+
+def hits(graph: Union[CsrGraph, DeviceGraph],
+         max_iters: int = 50) -> HitsResult:
+    timer = Timer()
+    num_nodes = graph.num_nodes
+    if isinstance(graph, CsrGraph):
+        with timer.time("preprocess_ms"):
+            dgraph = to_device(graph, with_csc=True, with_edge_src=True)
+    else:
+        dgraph = graph
+    with timer.time("process_ms"):
+        hub, auth = jax.block_until_ready(hits_device(dgraph, max_iters))
+    info = make_info(
+        primitive="hits", graph=dgraph, timer=timer,
+        edges_visited=2 * dgraph.num_edges * max_iters,
+        extra={"max_iteration": max_iters},
+    )
+    return HitsResult(hubs=np.asarray(hub)[:num_nodes],
+                      auths=np.asarray(auth)[:num_nodes], info=info)

@@ -1,0 +1,144 @@
+"""PageRank.
+
+TPU-native rebuild of the reference PR primitive
+(``gunrock/app/pr/{pr_problem,pr_enactor,pr_functor}.cuh``): the reference
+runs a full-frontier push of ``rank/degree`` along every edge per iteration
+(HAS_FULLQ, ``pr_enactor.cuh:326-341``), converging when no vertex's rank
+moved more than ``threshold`` (``pr_problem.cuh:83-93``, Stop_Condition
+``pr_enactor.cuh:864-884``). On TPU the same computation is a pull-mode
+SpMV over the CSC — a sorted segmented sum the VPU runs at HBM bandwidth —
+with the per-vertex convergence mask preserved.
+
+Supports the reference's ``normalized`` toggle:
+  normalized:   rank' = (1-d)/V + d * Σ rank[u]/deg[u]
+  plain:        rank' = (1-d)   + d * Σ rank[u]/deg[u]
+and the compensation for dangling vertices in normalized mode (scaled
+redistribution) is available via ``compensate=True``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..enactor import LoopStats, Timer, init_stats, record_iteration
+from ..graph.csr import CsrGraph
+from ..graph.device import DeviceGraph, to_device
+from ..utils.info import make_info
+
+__all__ = ["pagerank", "PageRankResult", "pagerank_device"]
+
+
+@dataclasses.dataclass
+class PageRankResult:
+    ranks: np.ndarray        # (V,) float32
+    node_ids: np.ndarray     # (V,) int32 vertices sorted by descending rank
+    info: dict
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["rank", "num_updated", "stats"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class _State:
+    rank: jax.Array         # (v_pad,) float32
+    num_updated: jax.Array  # () int32
+    stats: LoopStats
+
+
+def _pr_loop(graph: DeviceGraph, max_iters: jax.Array,
+             threshold: jax.Array, *, damping: float, normalized: bool,
+             compensate: bool):
+    v_pad = graph.v_pad
+    n = graph.num_nodes
+    vmask = jnp.arange(v_pad, dtype=jnp.int32) < n
+    deg = (graph.row_offsets[1:] - graph.row_offsets[:-1]).astype(jnp.float32)
+    inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)
+    init_rank = jnp.where(vmask, (1.0 / n) if normalized else 1.0 - damping,
+                          0.0).astype(jnp.float32)
+    reset = jnp.float32((1.0 - damping) / n if normalized else 1.0 - damping)
+
+    def cond(state: _State):
+        return (state.num_updated > 0) & (state.stats.iteration < max_iters)
+
+    def body(state: _State):
+        contrib = state.rank * inv_deg
+        edge_vals = contrib[graph.csc_indices]
+        # Mask padded CSC slots (their segment id is v_pad -> dropped).
+        incoming = jax.ops.segment_sum(
+            edge_vals, graph.csc_edge_dst, v_pad, indices_are_sorted=True)
+        new_rank = reset + damping * incoming
+        if normalized and compensate:
+            # Redistribute dangling-vertex mass uniformly.
+            dangling = jnp.sum(jnp.where(vmask & (deg == 0), state.rank, 0.0))
+            new_rank = new_rank + damping * dangling / n
+        new_rank = jnp.where(vmask, new_rank, 0.0)
+        updated = vmask & (jnp.abs(new_rank - state.rank) > threshold)
+        num_updated = jnp.sum(updated.astype(jnp.int32))
+        stats = record_iteration(
+            state.stats, frontier_len=num_updated,
+            edges=jnp.int32(min(graph.num_edges, 2**31 - 1)))
+        return _State(rank=new_rank, num_updated=num_updated, stats=stats)
+
+    init = _State(rank=init_rank, num_updated=jnp.int32(1),
+                  stats=init_stats())
+    final = jax.lax.while_loop(cond, body, init)
+    order = jnp.argsort(-final.rank)  # descending rank (reference PR app
+    # outputs (node_id, rank) sorted by rank, app/pr/pr_app.cu)
+    return final.rank, order.astype(jnp.int32), final.stats
+
+
+_pr_jit = jax.jit(
+    _pr_loop,
+    static_argnames=("damping", "normalized", "compensate"),
+)
+
+
+def pagerank_device(graph: DeviceGraph, *, damping: float = 0.85,
+                    threshold: float = 1e-6, max_iters: int = 50,
+                    normalized: bool = True, compensate: bool = False):
+    if not graph.has_csc:
+        raise ValueError("PageRank needs to_device(with_csc=True)")
+    return _pr_jit(graph, jnp.int32(max_iters), jnp.float32(threshold),
+                   damping=float(damping), normalized=normalized,
+                   compensate=compensate)
+
+
+def pagerank(graph: Union[CsrGraph, DeviceGraph], *, damping: float = 0.85,
+             threshold: float = 1e-6, max_iters: int = 50,
+             normalized: bool = True,
+             compensate: bool = False) -> PageRankResult:
+    """C API parity: ``gunrock_pagerank`` (``gunrock.h:311``)."""
+    timer = Timer()
+    num_nodes = graph.num_nodes
+    if isinstance(graph, CsrGraph):
+        with timer.time("preprocess_ms"):
+            dgraph = to_device(graph, with_csc=True)
+    else:
+        dgraph = graph
+
+    with timer.time("process_ms"):
+        rank, order, stats = jax.block_until_ready(
+            pagerank_device(dgraph, damping=damping, threshold=threshold,
+                            max_iters=max_iters, normalized=normalized,
+                            compensate=compensate))
+
+    ranks_np = np.asarray(rank)[:num_nodes]
+    order_np = np.asarray(order)
+    order_np = order_np[order_np < num_nodes][:num_nodes]
+    iters = int(stats.iteration)
+    info = make_info(
+        primitive="pagerank", graph=dgraph, stats=stats, timer=timer,
+        edges_visited=int(dgraph.num_edges) * iters,
+        extra={"damping": damping, "threshold": threshold,
+               "max_iteration": max_iters, "normalized": normalized,
+               "search_depth": iters},
+    )
+    return PageRankResult(ranks=ranks_np, node_ids=order_np, info=info)

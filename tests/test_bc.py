@@ -1,0 +1,48 @@
+"""BC vs CPU Brandes oracle (reference tests/bc/test_bc.cu)."""
+
+import numpy as np
+import pytest
+
+import gunrock_tpu as gt
+from gunrock_tpu.models.bc import bc
+from oracles import cpu_bc
+
+
+def test_bc_single_source_chesapeake(chesapeake):
+    res = bc(chesapeake, src=0)
+    expected = cpu_bc(chesapeake, src=0)
+    np.testing.assert_allclose(res.bc_values, expected, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_bc_sigma_counts(chesapeake):
+    res = bc(chesapeake, src=0)
+    # sigma[src]=1; sigma of depth-1 vertices = 1
+    assert res.sigmas[0] == 1.0
+    depth1 = np.where(res.labels == 1)[0]
+    assert (res.sigmas[depth1] >= 1.0).all()
+
+
+def test_bc_all_sources_small():
+    # small cycle + chord: exact BC over all sources
+    src = np.array([0, 1, 2, 3, 4, 0])
+    dst = np.array([1, 2, 3, 4, 0, 2])
+    g = gt.from_coo(5, src, dst, undirected=True)
+    res = bc(g, src=-1)
+    expected = cpu_bc(g, src=-1)
+    np.testing.assert_allclose(res.bc_values, expected, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_bc_rmat_single_source(rmat_small):
+    res = bc(rmat_small, src=3)
+    expected = cpu_bc(rmat_small, src=3)
+    np.testing.assert_allclose(res.bc_values, expected, rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_bc_deep_graph(road_like):
+    res = bc(road_like, src=0)
+    expected = cpu_bc(road_like, src=0)
+    np.testing.assert_allclose(res.bc_values, expected, rtol=1e-3,
+                               atol=1e-4)

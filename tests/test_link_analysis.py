@@ -1,0 +1,73 @@
+"""HITS / SALSA / WTF / TopK tests (reference tests/{hits,salsa,wtf,topk})."""
+
+import numpy as np
+import pytest
+
+import gunrock_tpu as gt
+from oracles import cpu_hits
+
+
+@pytest.fixture(scope="module")
+def directed_graph():
+    # Deterministic directed scale-free-ish graph.
+    return gt.io.rmat(scale=8, edge_factor=6, seed=21, undirected=False)
+
+
+def test_hits_oracle(directed_graph):
+    res = gt.hits(directed_graph, max_iters=30)
+    hub_exp, auth_exp = cpu_hits(directed_graph, max_iters=30)
+    np.testing.assert_allclose(res.hubs, hub_exp, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(res.auths, auth_exp, rtol=1e-3, atol=1e-5)
+
+
+def test_hits_star():
+    # star: 1..4 -> 0. Vertex 0 is the authority; 1..4 are hubs.
+    g = gt.from_coo(5, [1, 2, 3, 4], [0, 0, 0, 0])
+    res = gt.hits(g, max_iters=5)
+    assert res.auths.argmax() == 0
+    assert res.auths[0] == 1.0
+    assert (res.hubs[1:] == 1.0).all() and res.hubs[0] == 0.0
+
+
+def test_salsa_mass_conservation(directed_graph):
+    res = gt.salsa(directed_graph, max_iters=20)
+    # SALSA walk steps conserve mass restricted to non-dangling parts;
+    # scores must be finite, non-negative.
+    assert np.isfinite(res.hubs).all() and np.isfinite(res.auths).all()
+    assert (res.hubs >= 0).all() and (res.auths >= 0).all()
+    assert res.auths.sum() > 0
+
+
+def test_salsa_cycle_uniform():
+    # directed 4-cycle: perfectly symmetric -> uniform scores.
+    g = gt.from_coo(4, [0, 1, 2, 3], [1, 2, 3, 0])
+    res = gt.salsa(g, max_iters=10)
+    np.testing.assert_allclose(res.hubs, res.hubs[0], rtol=1e-5)
+    np.testing.assert_allclose(res.auths, res.auths[0], rtol=1e-5)
+
+
+def test_wtf_runs_and_ranks(directed_graph):
+    res = gt.wtf(directed_graph, src=0, max_iters=30)
+    assert len(res.node_ids) <= 1000
+    # scores sorted descending
+    assert (np.diff(res.scores) <= 1e-12).all()
+    assert np.isfinite(res.ppr_ranks).all()
+    # PPR mass concentrated near src's component
+    assert res.ppr_ranks[0] > 0
+
+
+def test_topk_degree_centrality(rmat_small):
+    res = gt.topk(rmat_small, k=10)
+    out_deg = np.diff(rmat_small.row_offsets)
+    in_deg = np.bincount(rmat_small.col_indices,
+                         minlength=rmat_small.num_nodes)
+    cent = out_deg + in_deg
+    expected = np.sort(cent)[::-1][:10]
+    np.testing.assert_array_equal(np.sort(res.centralities)[::-1], expected)
+    assert (cent[res.node_ids] == res.centralities).all()
+
+
+def test_sample_template(rmat_small):
+    from oracles import cpu_bfs
+    labels = gt.sample(rmat_small, src=0)
+    np.testing.assert_array_equal(labels, cpu_bfs(rmat_small, 0))

@@ -1,0 +1,63 @@
+"""SSSP vs CPU Dijkstra oracle (reference tests/sssp/test_sssp.cu)."""
+
+import numpy as np
+import pytest
+
+import gunrock_tpu as gt
+from gunrock_tpu.models.sssp import sssp
+from oracles import cpu_sssp
+
+
+@pytest.fixture(scope="module")
+def weighted_rmat():
+    g = gt.io.rmat(scale=9, edge_factor=6, seed=11, undirected=True,
+                   random_edge_values=True)
+    return g
+
+
+@pytest.mark.parametrize("mode", ["bellman", "nearfar"])
+def test_sssp_rmat(weighted_rmat, mode):
+    res = sssp(weighted_rmat, src=0, mode=mode)
+    expected = cpu_sssp(weighted_rmat, 0)
+    np.testing.assert_allclose(res.distances, expected, rtol=1e-5)
+
+
+def test_sssp_chesapeake(chesapeake):
+    chesapeake.random_edge_values(seed=5)
+    res = sssp(chesapeake, src=3, mark_preds=True)
+    expected = cpu_sssp(chesapeake, 3)
+    np.testing.assert_allclose(res.distances, expected, rtol=1e-5)
+    # Validate the shortest-path tree: dist[v] == dist[pred[v]] + w(pred, v)
+    row, col, w = (chesapeake.row_offsets, chesapeake.col_indices,
+                   chesapeake.edge_values)
+    for v in range(chesapeake.num_nodes):
+        if v == 3 or not np.isfinite(res.distances[v]):
+            continue
+        p = res.preds[v]
+        assert p >= 0
+        edges = [e for e in range(row[p], row[p + 1]) if col[e] == v]
+        assert edges, f"pred {p} not adjacent to {v}"
+        assert any(np.isclose(res.distances[v], res.distances[p] + w[e],
+                              rtol=1e-5) for e in edges)
+
+
+def test_sssp_unit_weights(road_like):
+    """Unit weights -> distances equal BFS depths."""
+    road_like.edge_values = np.ones(road_like.num_edges, np.float32)
+    res = sssp(road_like, src=0)
+    bfs_res = gt.bfs(road_like, src=0)
+    np.testing.assert_allclose(res.distances,
+                               bfs_res.labels.astype(np.float32))
+
+
+def test_sssp_deterministic(weighted_rmat):
+    r1 = sssp(weighted_rmat, src=7, mark_preds=True)
+    r2 = sssp(weighted_rmat, src=7, mark_preds=True)
+    np.testing.assert_array_equal(r1.distances, r2.distances)
+    np.testing.assert_array_equal(r1.preds, r2.preds)
+
+
+def test_sssp_nearfar_matches_bellman(weighted_rmat):
+    a = sssp(weighted_rmat, src=5, mode="bellman")
+    b = sssp(weighted_rmat, src=5, mode="nearfar")
+    np.testing.assert_allclose(a.distances, b.distances, rtol=1e-5)

@@ -1,0 +1,89 @@
+"""Benchmark harness: flagship metric on real TPU hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MTEPS", "vs_baseline": N}
+
+Flagship: direction-optimized BFS MTEPS on a scale-free R-MAT graph
+(soc-orkut-class; the reference's headline BFS numbers are DO-BFS on
+soc-orkut / rmat graphs, doc/stats/engines_topc.md). vs_baseline is
+measured against the 1 GTEPS/chip north-star target (BASELINE.md).
+
+Methodology matches the reference (doc/results.md:28-35): process time
+excludes graph load/build/upload; m_teps = edges_visited/(elapsed_ms*1000)
+(util/info.cuh:1431). Reported value = best of N timed runs after warmup
+(compile cached).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SCALE = int(os.environ.get("BENCH_SCALE", "20"))
+EDGE_FACTOR = int(os.environ.get("BENCH_EDGE_FACTOR", "32"))
+RUNS = int(os.environ.get("BENCH_RUNS", "5"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+
+
+def load_graph():
+    import gunrock_tpu as gt
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    cache = os.path.join(CACHE_DIR, f"rmat_n{SCALE}_e{EDGE_FACTOR}.csr.npz")
+    if os.path.exists(cache):
+        return gt.CsrGraph.read_binary(cache)
+    g = gt.io.rmat(scale=SCALE, edge_factor=EDGE_FACTOR, seed=1,
+                   undirected=True)
+    try:
+        g.write_binary(cache)
+    except OSError:
+        pass
+    return g
+
+
+def main():
+    import jax
+    import numpy as np
+
+    import gunrock_tpu as gt
+    from gunrock_tpu.models.bfs import bfs_device
+
+    g = load_graph()
+    src = g.largest_degree_vertex()
+    dgraph = gt.to_device(g, with_csc=True)
+
+    run = lambda: jax.block_until_ready(
+        bfs_device(dgraph, src, direction_optimized=True))
+
+    labels, _, stats = run()  # warmup + compile
+    reached = np.asarray(labels)[: g.num_nodes] >= 0
+    degs = np.diff(g.row_offsets).astype(np.int64)
+    edges_visited = int(degs[reached].sum())
+
+    best = float("inf")
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+
+    elapsed_ms = best * 1000.0
+    mteps = edges_visited / (elapsed_ms * 1000.0)
+    print(json.dumps({
+        "metric": f"bfs_do_mteps_rmat_n{SCALE}_e{EDGE_FACTOR}",
+        "value": round(mteps, 1),
+        "unit": "MTEPS",
+        "vs_baseline": round(mteps / 1000.0, 4),
+        "elapsed_ms": round(elapsed_ms, 3),
+        "edges_visited": edges_visited,
+        "search_depth": int(np.asarray(labels).max()),
+        "num_vertices": g.num_nodes,
+        "num_edges": g.num_edges,
+        "device": str(jax.devices()[0].device_kind),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,6 @@
+from .mesh import make_mesh, AXIS  # noqa: F401
+from .partition import PartitionedGraph, partition, make_permutation  # noqa: F401
+from .comm import bucket_by_owner, exchange, recv_mask  # noqa: F401
+from .bfs import bfs_sharded, bfs_sharded_device, ShardedBfsResult  # noqa: F401
+from .pr import pagerank_sharded, pagerank_sharded_device, ShardedPrResult  # noqa: F401
+from .sssp import sssp_sharded, sssp_sharded_device, ShardedSsspResult  # noqa: F401

@@ -1,0 +1,144 @@
+"""Multi-chip PageRank: vertex-sharded pull SpMV over the mesh.
+
+The reference's multi-GPU PR exchanges rank value-associates per superstep
+(``app/pr/pr_enactor.cuh:1109``). The TPU-idiomatic dataflow: ranks are
+sharded ``(S,)`` per chip; each iteration all-gathers the rank vector over
+ICI (the activation-gather pattern) and segment-sums each shard's owned
+in-edges locally. Convergence is a ``psum`` of per-shard updated-vertex
+counts (reference Stop_Condition ``pr_enactor.cuh:864-884``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..enactor import Timer
+from ..graph.csr import CsrGraph
+from ..utils.info import make_info
+from .mesh import AXIS, make_mesh
+from .partition import PartitionedGraph, partition
+
+__all__ = ["pagerank_sharded", "pagerank_sharded_device",
+           "ShardedPrResult"]
+
+
+@dataclasses.dataclass
+class ShardedPrResult:
+    ranks: np.ndarray
+    node_ids: np.ndarray
+    info: dict
+
+
+def _make_pr_fn(pg: PartitionedGraph, *, damping: float, normalized: bool,
+                axis: str, mesh: Mesh):
+    S = pg.shard_size
+    n = pg.num_nodes
+    reset = (1.0 - damping) / n if normalized else (1.0 - damping)
+
+    def shard_fn(row, col, out_deg_local, vmask_local, max_iters,
+                 threshold):
+        row = row.reshape(-1)             # (S+1,) csc offsets of owned verts
+        col = col.reshape(-1)             # (E,)   global source ids
+        out_deg_local = out_deg_local.reshape(-1)   # (S,)
+        vmask_local = vmask_local.reshape(-1)       # (S,) real-vertex mask
+        # per-CSC-edge destination segment ids (local), fill S for padding
+        lane = jnp.arange(col.shape[0], dtype=jnp.int32)
+        seg = jnp.searchsorted(row, lane, side="right").astype(jnp.int32) - 1
+        seg = jnp.where(lane < row[-1], seg, S)
+
+        inv_deg_local = jnp.where(out_deg_local > 0,
+                                  1.0 / jnp.maximum(out_deg_local, 1.0), 0.0)
+        rank0 = jnp.where(vmask_local,
+                          (1.0 / n) if normalized else (1.0 - damping),
+                          0.0).astype(jnp.float32)
+
+        def cond(carry):
+            rank, num_updated, it = carry
+            return (num_updated > 0) & (it < max_iters)
+
+        def body(carry):
+            rank, _, it = carry
+            contrib_local = rank * inv_deg_local
+            # Activation gather over ICI: full contribution vector.
+            contrib = jax.lax.all_gather(contrib_local, axis,
+                                         tiled=True)      # (p*S,)
+            vals = contrib[jnp.where(lane < row[-1], col, 0)]
+            vals = jnp.where(lane < row[-1], vals, 0.0)
+            incoming = jax.ops.segment_sum(vals, seg, S,
+                                           indices_are_sorted=True)
+            new_rank = jnp.where(vmask_local, reset + damping * incoming,
+                                 0.0)
+            updated = vmask_local & (jnp.abs(new_rank - rank) > threshold)
+            num_updated = jax.lax.psum(
+                jnp.sum(updated.astype(jnp.int32)), axis)
+            return new_rank, num_updated, it + 1
+
+        rank, _, iters = jax.lax.while_loop(
+            cond, body, (rank0, jnp.int32(1), jnp.int32(0)))
+        return rank, iters
+
+    in_specs = (P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS), P(), P())
+    out_specs = (P(AXIS), P())
+    return jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs))
+
+
+def pagerank_sharded_device(pg: PartitionedGraph, *, mesh: Optional[Mesh],
+                            out_degrees_new: jax.Array,
+                            vmask_new: jax.Array, damping: float = 0.85,
+                            threshold: float = 1e-6, max_iters: int = 50,
+                            normalized: bool = True):
+    if pg.csc_offsets is None:
+        raise ValueError("sharded PageRank needs partition(with_csc=True)")
+    if mesh is None:
+        mesh = make_mesh(pg.num_shards)
+    fn = _make_pr_fn(pg, damping=float(damping), normalized=normalized,
+                     axis=AXIS, mesh=mesh)
+    return fn(pg.csc_offsets, pg.csc_indices,
+              out_degrees_new.reshape(pg.num_shards, pg.shard_size),
+              vmask_new.reshape(pg.num_shards, pg.shard_size),
+              jnp.int32(max_iters), jnp.float32(threshold))
+
+
+def pagerank_sharded(graph: CsrGraph, *, num_shards: int = None,
+                     partition_method: str = "random", seed: int = 0,
+                     mesh: Optional[Mesh] = None, damping: float = 0.85,
+                     threshold: float = 1e-6, max_iters: int = 50,
+                     normalized: bool = True) -> ShardedPrResult:
+    timer = Timer()
+    if mesh is None:
+        mesh = make_mesh(num_shards)
+    num_shards = mesh.devices.size
+
+    with timer.time("partition_ms"):
+        pg, perm = partition(graph, num_shards, method=partition_method,
+                             seed=seed, with_csc=True)
+        v_pad = pg.v_global_pad
+        out_deg_new = np.zeros(v_pad, np.float32)
+        out_deg_new[perm] = np.diff(graph.row_offsets).astype(np.float32)
+        vmask_new = np.zeros(v_pad, bool)
+        vmask_new[perm] = True
+
+    with timer.time("process_ms"):
+        rank, iters = jax.block_until_ready(pagerank_sharded_device(
+            pg, mesh=mesh, out_degrees_new=jnp.asarray(out_deg_new),
+            vmask_new=jnp.asarray(vmask_new), damping=damping,
+            threshold=threshold, max_iters=max_iters,
+            normalized=normalized))
+
+    ranks_old = np.asarray(rank)[perm]
+    order = np.argsort(-ranks_old, kind="stable").astype(np.int32)
+    info = make_info(
+        primitive="pagerank_sharded", graph=graph, timer=timer,
+        edges_visited=graph.num_edges * int(iters),
+        extra={"num_shards": int(num_shards), "damping": damping,
+               "num_iterations": int(iters),
+               "partition_method": partition_method},
+    )
+    return ShardedPrResult(ranks=ranks_old, node_ids=order, info=info)

@@ -19,7 +19,7 @@ from . import graph, io, ops, models, parallel, utils  # noqa: F401
 from .graph.csr import CsrGraph, from_coo  # noqa: F401
 from .graph.device import DeviceGraph, to_device  # noqa: F401
 from .models import (  # noqa: F401
-    bfs, sssp, pagerank, cc, bc, hits, salsa, wtf, topk, sample,
+    bfs, sssp, pagerank, cc, bc, hits, salsa, wtf, topk, sample, tc,
 )
 
 __version__ = "0.1.0"

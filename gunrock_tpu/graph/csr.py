@@ -158,6 +158,18 @@ def from_coo(
         if values is not None:
             values = np.concatenate([values, values])
 
+    # Fast path: native OpenMP builder (graph_builder.cpp), the analogue
+    # of the reference's parallel host build; falls back to numpy below.
+    from .native import coo_to_csr_native
+    built = coo_to_csr_native(int(num_nodes), src, dst, values,
+                              remove_self_loops=remove_self_loops,
+                              dedup=dedup)
+    if built is not None:
+        row_offsets, col, vals = built
+        return CsrGraph(num_nodes=int(num_nodes), row_offsets=row_offsets,
+                        col_indices=col, edge_values=vals,
+                        undirected=undirected)
+
     if remove_self_loops:
         keep = src != dst
         src, dst = src[keep], dst[keep]

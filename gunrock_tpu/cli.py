@@ -228,8 +228,14 @@ def _run_pr(args, g, src):
 
 
 def _run_cc(args, g, src):
-    from .models import cc
-    res = cc(g)
+    if args.num_shards:
+        from .parallel.cc import cc_sharded
+        res = cc_sharded(g, num_shards=args.num_shards,
+                         partition_method=args.partition_method,
+                         seed=args.partition_seed)
+    else:
+        from .models import cc
+        res = cc(g)
     ok = True
     if not args.quick:
         ref = oracle.cpu_cc(g)
@@ -243,8 +249,14 @@ def _run_cc(args, g, src):
 
 
 def _run_bc(args, g, src):
-    from .models import bc
-    res = bc(g, src, queue_sizing=args.queue_sizing)
+    if args.num_shards:
+        from .parallel.bc import bc_sharded
+        res = bc_sharded(g, src, num_shards=args.num_shards,
+                         partition_method=args.partition_method,
+                         seed=args.partition_seed)
+    else:
+        from .models import bc
+        res = bc(g, src, queue_sizing=args.queue_sizing)
     ok = True
     if not args.quick:
         ref = oracle.cpu_bc(g, src)

@@ -1,0 +1,188 @@
+"""Multi-chip Betweenness Centrality (single-source Brandes).
+
+The reference BC chains a forward BFS-like Iteration_Loop (sigma
+accumulation via atomicAdd, ``bc_functor.cuh:70``) with a backward
+Iteration_Loop replaying frontiers in reverse (delta accumulation,
+``bc_functor.cuh:203-238``), exchanging sigmas/deltas as value-associates
+and using backward partition tables.
+
+TPU formulation — three level-synchronous phases under one shard_map:
+
+  1. labels: sharded BFS depths (all-gathered label vector per level;
+     pull over the local CSC rows of owned vertices)
+  2. forward sweep d = 1..D: sigma[v] = sum of sigma[u] over in-neighbors
+     u at depth d-1 (sorted segmented sum; ``all_gather`` is the
+     value-associate exchange)
+  3. backward sweep d = D-1..0: delta[u] = sigma[u] * sum over
+     out-neighbors v at depth d+1 of (1 + delta[v]) / sigma[v]
+
+Everything is deterministic segmented arithmetic — no atomics, bitwise
+reproducible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..enactor import Timer
+from ..graph.csr import CsrGraph
+from ..utils.info import make_info
+from .mesh import AXIS, make_mesh, pvary
+from .partition import PartitionedGraph, partition
+
+__all__ = ["bc_sharded", "bc_sharded_device", "ShardedBcResult"]
+
+
+@dataclasses.dataclass
+class ShardedBcResult:
+    bc_values: np.ndarray
+    sigmas: np.ndarray
+    labels: np.ndarray
+    info: dict
+
+
+def _edge_segments(row, cap, S):
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    evalid = lane < row[-1]
+    seg = jnp.searchsorted(row, lane, side="right").astype(jnp.int32) - 1
+    return evalid, jnp.where(evalid, seg, S)
+
+
+def _make_bc_fn(pg: PartitionedGraph, *, axis: str, mesh: Mesh):
+    S = pg.shard_size
+
+    def shard_fn(row, col, crow, ccol, src_new):
+        # row/col: CSR of owned vertices (out-edges, global dst ids)
+        # crow/ccol: CSC of owned vertices (in-edges, global src ids)
+        row = row.reshape(-1)
+        col = col.reshape(-1)
+        crow = crow.reshape(-1)
+        ccol = ccol.reshape(-1)
+        my_base = jax.lax.axis_index(axis).astype(jnp.int32) * S
+
+        out_valid, out_seg = _edge_segments(row, col.shape[0], S)
+        in_valid, in_seg = _edge_segments(crow, ccol.shape[0], S)
+        col_safe = jnp.where(out_valid, col, 0)
+        ccol_safe = jnp.where(in_valid, ccol, 0)
+
+        lane = jnp.arange(S, dtype=jnp.int32)
+        owns = (src_new >= my_base) & (src_new < my_base + S)
+        labels = jnp.where(owns & (lane == src_new - my_base), 0, -1)
+        labels = labels.astype(jnp.int32)
+
+        # ---- phase 1: BFS depths (pull over in-edges each level)
+        def bfs_cond(carry):
+            labels, changed, d = carry
+            return changed > 0
+
+        def bfs_body(carry):
+            labels, _, d = carry
+            lG = jax.lax.all_gather(labels, axis, tiled=True)
+            hit = in_valid & (lG[ccol_safe] == d - 1)
+            reached = jax.ops.segment_max(
+                hit.astype(jnp.int32), in_seg, S,
+                indices_are_sorted=True) > 0
+            new = (labels == -1) & reached
+            labels = jnp.where(new, d, labels)
+            changed = jax.lax.psum(jnp.sum(new.astype(jnp.int32)), axis)
+            return labels, changed, d + 1
+
+        labels, _, dmax = jax.lax.while_loop(
+            bfs_cond, bfs_body, (labels, jnp.int32(1), jnp.int32(1)))
+        depth = dmax - 1  # last level that discovered nothing
+
+        # ---- phase 2: forward sigma sweep
+        sigma = jnp.where(labels == 0, 1.0, 0.0).astype(jnp.float32)
+
+        def fwd_body(d, sigma):
+            sG = jax.lax.all_gather(sigma, axis, tiled=True)
+            lG = jax.lax.all_gather(labels, axis, tiled=True)
+            contrib = jnp.where(in_valid & (lG[ccol_safe] == d - 1),
+                                sG[ccol_safe], 0.0)
+            s = jax.ops.segment_sum(contrib, in_seg, S,
+                                    indices_are_sorted=True)
+            return jnp.where(labels == d, s, sigma)
+
+        sigma = jax.lax.fori_loop(1, depth + 1, fwd_body, sigma)
+
+        # ---- phase 3: backward delta sweep
+        # (pvary: constant-initialized carries must be marked
+        # device-varying for the loop VMA check under shard_map)
+        delta = pvary(jnp.zeros((S,), jnp.float32), axis)
+
+        def bwd_body(i, delta):
+            d = depth - 1 - i
+            dG = jax.lax.all_gather(delta, axis, tiled=True)
+            sG = jax.lax.all_gather(sigma, axis, tiled=True)
+            lG = jax.lax.all_gather(labels, axis, tiled=True)
+            nbr_ok = out_valid & (lG[col_safe] == d + 1)
+            ratio = jnp.where(nbr_ok,
+                              (1.0 + dG[col_safe]) /
+                              jnp.maximum(sG[col_safe], 1e-30), 0.0)
+            acc = jax.ops.segment_sum(ratio, out_seg, S,
+                                      indices_are_sorted=True)
+            return jnp.where(labels == d, sigma * acc, delta)
+
+        delta = jax.lax.fori_loop(0, jnp.maximum(depth, 0), bwd_body, delta)
+        bc = jnp.where(labels > 0, delta, 0.0)
+        return bc, sigma, labels, depth
+
+    in_specs = (P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                P())
+    out_specs = (P(AXIS), P(AXIS), P(AXIS), P())
+    return jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs))
+
+
+def bc_sharded_device(pg: PartitionedGraph, src_new: int, *,
+                      mesh: Optional[Mesh] = None):
+    if pg.csc_offsets is None:
+        raise ValueError("sharded BC needs partition(with_csc=True)")
+    if mesh is None:
+        mesh = make_mesh(pg.num_shards)
+    fn = _make_bc_fn(pg, axis=AXIS, mesh=mesh)
+    return fn(pg.row_offsets, pg.col_indices, pg.csc_offsets,
+              pg.csc_indices, jnp.int32(src_new))
+
+
+def bc_sharded(graph: CsrGraph, src: Union[int, str] = 0, *,
+               num_shards: int = None, partition_method: str = "random",
+               seed: int = 0, mesh: Optional[Mesh] = None) -> ShardedBcResult:
+    timer = Timer()
+    if mesh is None:
+        mesh = make_mesh(num_shards)
+    num_shards = mesh.devices.size
+    if src == "largestdegree":
+        src = graph.largest_degree_vertex()
+    src = int(src)
+    if not 0 <= src < graph.num_nodes:
+        raise ValueError(f"src {src} out of range [0, {graph.num_nodes})")
+
+    with timer.time("partition_ms"):
+        pg, perm = partition(graph, num_shards, method=partition_method,
+                             seed=seed, with_csc=True)
+
+    with timer.time("process_ms"):
+        bc_new, sigma_new, labels_new, depth = jax.block_until_ready(
+            bc_sharded_device(pg, int(perm[src]), mesh=mesh))
+
+    bc = (np.asarray(bc_new)[perm] * 0.5).astype(np.float32)
+    info = make_info(
+        primitive="bc_sharded", graph=graph, timer=timer,
+        edges_visited=2 * graph.num_edges,
+        extra={"src": src, "num_shards": int(num_shards),
+               "search_depth": int(depth),
+               "partition_method": partition_method},
+    )
+    return ShardedBcResult(
+        bc_values=bc,
+        sigmas=np.asarray(sigma_new)[perm],
+        labels=np.asarray(labels_new)[perm],
+        info=info,
+    )

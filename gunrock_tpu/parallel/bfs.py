@@ -30,7 +30,7 @@ from ..ops.advance import _expand_csr
 from ..ops.segment import compact, dedup_winners, scatter_set
 from ..utils.info import make_info
 from .comm import bucket_by_owner, exchange, recv_mask
-from .mesh import AXIS, make_mesh
+from .mesh import AXIS, make_mesh, pvary
 from .partition import PartitionedGraph, partition
 
 __all__ = ["bfs_sharded", "bfs_sharded_device", "ShardedBfsResult"]
@@ -113,7 +113,7 @@ def _make_bfs_fn(pg: PartitionedGraph, *, fcap: int, out_cap: int,
                  else jnp.zeros((1,), jnp.int32))
         # Constant-initialized carries must be marked device-varying for
         # the while_loop VMA check under shard_map.
-        preds = jax.lax.pvary(preds, (axis,))
+        preds = pvary(preds, axis)
         frontier = jnp.zeros((fcap,), jnp.int32).at[0].set(lsrc)
         n = jnp.where(owns_src, 1, 0).astype(jnp.int32)
 

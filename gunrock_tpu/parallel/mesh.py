@@ -12,9 +12,20 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_leading", "replicated", "AXIS"]
+__all__ = ["make_mesh", "shard_leading", "replicated", "AXIS", "pvary"]
 
 AXIS = "shard"  # graph-parallel axis name
+
+
+def pvary(x, axis: str):
+    """Mark a constant-initialized loop carry as device-varying (shard_map
+    VMA check). Wraps the pcast/pvary API churn across jax versions."""
+    if hasattr(jax.lax, "pcast"):
+        try:
+            return jax.lax.pcast(x, to="varying")
+        except TypeError:
+            pass
+    return jax.lax.pvary(x, (axis,))
 
 
 def make_mesh(num_shards: int | None = None, axis: str = AXIS) -> Mesh:

@@ -115,3 +115,44 @@ def test_sssp_sharded_deep(road_like):
     res = sssp_sharded(road_like, src=0, num_shards=4)
     expected = cpu_sssp(road_like, 0)
     np.testing.assert_allclose(res.distances, expected, rtol=1e-5)
+
+
+@pytest.mark.parametrize("num_shards", [2, 4])
+def test_cc_sharded_matches_oracle(rmat_small, num_shards):
+    from gunrock_tpu.parallel import cc_sharded
+    from oracles import cpu_cc
+    res = cc_sharded(rmat_small, num_shards=num_shards)
+    ref = cpu_cc(rmat_small)
+    assert res.num_components == len(np.unique(ref))
+    # identical partitions: same-component iff same ref component
+    np.testing.assert_array_equal(res.components, ref)
+
+
+def test_cc_sharded_disconnected():
+    from gunrock_tpu.parallel import cc_sharded
+    # two cliques + an isolated vertex
+    src = np.array([0, 1, 2, 4, 5, 6])
+    dst = np.array([1, 2, 0, 5, 6, 4])
+    g = gt.from_coo(8, src, dst, undirected=True)
+    res = cc_sharded(g, num_shards=2)
+    assert res.num_components == 4  # {0,1,2}, {4,5,6}, {3}, {7}
+    assert res.components[0] == res.components[1] == res.components[2] == 0
+    assert res.components[4] == res.components[5] == res.components[6] == 4
+
+
+@pytest.mark.parametrize("num_shards", [2, 4])
+def test_bc_sharded_matches_oracle(rmat_small, num_shards):
+    from gunrock_tpu.parallel import bc_sharded
+    from oracles import cpu_bc
+    res = bc_sharded(rmat_small, src=0, num_shards=num_shards)
+    ref = cpu_bc(rmat_small, 0)
+    np.testing.assert_allclose(res.bc_values, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_bc_sharded_matches_single_chip(chesapeake):
+    from gunrock_tpu.parallel import bc_sharded
+    res = bc_sharded(chesapeake, src="largestdegree", num_shards=4,
+                     partition_method="biasrandom")
+    single = gt.bc(chesapeake, chesapeake.largest_degree_vertex())
+    np.testing.assert_allclose(res.bc_values, single.bc_values,
+                               rtol=1e-4, atol=1e-4)

@@ -100,30 +100,59 @@ def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool):
 
 
 def _pull_step(graph: DeviceGraph, fcap: int, mark_preds: bool,
-               state: _State):
+               state: _State, use_pallas: bool = False):
     """Full-edge pull over CSC: v joins the frontier iff any in-neighbor is
     in the current frontier (reference TWC/LB backward advance with
-    frontier bitmaps, ``oprtr/advance/kernel.cuh:355-379``)."""
+    frontier bitmaps, ``oprtr/advance/kernel.cuh:355-379``).
+
+    Segment reductions (XLA scatter = element-serial on TPU) are replaced
+    by the cumsum-boundary trick: reached(v) = any hit in v's CSC row =
+    (running_sum[row_end] - running_sum[row_start]) > 0 — one scan plus
+    two vertex-scale gathers instead of an edge-scale scatter.
+    With ``use_pallas``, the edge-scale membership gather runs through the
+    VMEM-resident packed-bitmask kernel (~5x XLA's serial gather).
+    Predecessors for pull-discovered vertices are filled post-hoc
+    (:func:`_fill_preds`), keeping the hot loop free of edge-scale
+    irregular writes."""
     depth = state.stats.iteration + 1
     cur = state.stats.iteration
-    hit = state.labels[graph.csc_indices] == cur
-    # Winner in-neighbor per vertex (deterministic pred: max vertex id).
-    best = jax.ops.segment_max(
-        jnp.where(hit, graph.csc_indices + 1, 0),
-        graph.csc_edge_dst, graph.v_pad, indices_are_sorted=True)
-    new_mask = (state.labels == INVALID) & (best > 0)
+    if use_pallas:
+        from ..ops.pallas_kernels import bitmask_gather_cumsum, pack_bitmask
+        words = pack_bitmask(state.labels == cur)
+        run = bitmask_gather_cumsum(words, graph.csc_indices)
+    else:
+        hit = (state.labels[graph.csc_indices] == cur).astype(jnp.int32)
+        run = jnp.cumsum(hit)
+    run0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), run])
+    reached = (run0[graph.csc_offsets[1:]] -
+               run0[graph.csc_offsets[:-1]]) > 0
+    new_mask = (state.labels == INVALID) & reached
     labels = jnp.where(new_mask, depth, state.labels)
-    preds = state.preds
-    if mark_preds:
-        preds = jnp.where(new_mask, best - 1, preds)
     frontier, n = frontier_from_mask(new_mask, fcap)
     edges = jnp.int32(min(graph.num_edges, 2**31 - 1))
-    return labels, preds, frontier, n, edges, jnp.bool_(False)
+    return labels, state.preds, frontier, n, edges, jnp.bool_(False)
+
+
+def _fill_preds(graph: DeviceGraph, labels: jax.Array,
+                preds: jax.Array) -> jax.Array:
+    """Post-hoc predecessor fill for vertices discovered in pull mode:
+    pred(v) = the last in-neighbor (CSC order) with label(v) - 1.
+    Deterministic, one pass, outside the traversal loop."""
+    lab_dst = labels[graph.csc_edge_dst.clip(0, graph.v_pad - 1)]
+    hit = labels[graph.csc_indices] + 1 == lab_dst
+    pos = jnp.where(hit, jnp.arange(graph.e_pad, dtype=jnp.int32), -1)
+    best = jax.lax.cummax(pos)
+    bpos0 = jnp.concatenate([jnp.full((1,), -1, jnp.int32), best])
+    last = bpos0[graph.csc_offsets[1:]]
+    start = graph.csc_offsets[:-1]
+    ok = (labels[: graph.v_pad] > 0) & (preds == INVALID) & (last >= start)
+    return jnp.where(ok, graph.csc_indices[jnp.maximum(last, 0)], preds)
 
 
 def _bfs_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array, *,
               fcap: int, caps: tuple[int, ...], mark_preds: bool,
-              direction_optimized: bool, alpha: float, beta: float):
+              direction_optimized: bool, alpha: float, beta: float,
+              pallas_pull: bool = False):
     v_pad = graph.v_pad
     labels = jnp.full((v_pad,), INVALID, jnp.int32).at[src].set(0)
     preds = (jnp.full((v_pad,), INVALID, jnp.int32) if mark_preds
@@ -149,7 +178,8 @@ def _bfs_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array, *,
             use_pull = jnp.where(state.use_pull, ~to_push, to_pull)
             labels, preds, frontier, n, edges, overflow = jax.lax.cond(
                 use_pull,
-                lambda s: _pull_step(graph, fcap, mark_preds, s),
+                lambda s: _pull_step(graph, fcap, mark_preds, s,
+                                     use_pallas=pallas_pull),
                 lambda s: dispatch_by_size(m_f, caps, push, s),
                 state,
             )
@@ -174,20 +204,24 @@ def _bfs_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array, *,
         stats=init_stats(),
     )
     final = jax.lax.while_loop(cond, body, init)
-    return (final.labels, final.preds, final.stats)
+    preds_out = final.preds
+    if mark_preds and direction_optimized:
+        preds_out = _fill_preds(graph, final.labels, preds_out)
+    return (final.labels, preds_out, final.stats)
 
 
 _bfs_jit = jax.jit(
     _bfs_loop,
     static_argnames=("fcap", "caps", "mark_preds", "direction_optimized",
-                     "alpha", "beta"),
+                     "alpha", "beta", "pallas_pull"),
 )
 
 
 def bfs_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
                direction_optimized: bool = False, alpha: float = 15.0,
                beta: float = 18.0, queue_sizing: float = 1.0,
-               max_iters: Optional[int] = None):
+               max_iters: Optional[int] = None,
+               pallas_pull: Optional[bool] = None):
     """Jit-compiled BFS on an already-uploaded graph; returns device arrays
     ``(labels, preds, stats, edges_visited)``."""
     if direction_optimized and not graph.has_csc:
@@ -197,10 +231,14 @@ def bfs_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
     caps = tuple(capacity_ladder(out_cap))
     if max_iters is None:
         max_iters = graph.num_nodes + 1
+    if pallas_pull is None:
+        # The Mosaic kernel is the fast path on real TPUs; the XLA
+        # formulation is used on CPU (tests) and as a fallback.
+        pallas_pull = jax.default_backend() == "tpu"
     return _bfs_jit(graph, jnp.int32(src), jnp.int32(max_iters),
                     fcap=fcap, caps=caps, mark_preds=mark_preds,
                     direction_optimized=direction_optimized,
-                    alpha=alpha, beta=beta)
+                    alpha=alpha, beta=beta, pallas_pull=pallas_pull)
 
 
 def bfs(graph: Union[CsrGraph, DeviceGraph], src: Union[int, str] = 0, *,

@@ -74,16 +74,24 @@ def _expand_csr(row_offsets: jax.Array, col_indices: jax.Array,
     ends = jnp.cumsum(deg)                     # inclusive scan
     total = ends[-1] if cin > 0 else jnp.int32(0)
 
-    j = jnp.arange(out_cap, dtype=jnp.int32)
-    # Which frontier segment does output lane j land in? searchsorted over
-    # the scanned degrees == the reference's per-thread binary search
-    # (edge_map_partitioned/kernel.cuh:309-331).
-    rank = jnp.searchsorted(ends, j, side="right").astype(jnp.int32)
-    rank_c = jnp.minimum(rank, cin - 1)
+    # Which frontier segment does output lane j land in? Instead of a
+    # per-lane binary search over the scanned degrees (the reference's
+    # merge-path, edge_map_partitioned/kernel.cuh:309-331 — log(V) random
+    # gathers per lane, pathologically slow on TPU), scatter a +1 marker
+    # at every segment start and take a running sum: rank[j] = number of
+    # segment starts at or before j, minus one. Zero-degree segments
+    # collapse onto the next start and own no lanes, as required.
+    seg_starts = ends - deg                    # start position per segment
+    markers = jnp.zeros((out_cap,), jnp.int32).at[
+        jnp.where(valid & (deg > 0), seg_starts, out_cap)
+    ].add(1, mode="drop")
+    rank = jnp.cumsum(markers) - 1             # (out_cap,)
+    rank_c = jnp.clip(rank, 0, cin - 1)
     seg_end = ends[rank_c]
     seg_start = seg_end - deg[rank_c]
+    j = jnp.arange(out_cap, dtype=jnp.int32)
     eid = start[rank_c] + (j - seg_start)
-    mask = j < total
+    mask = (j < total) & (rank >= 0)
     eid_c = jnp.where(mask, eid, 0)
     dst = jnp.where(mask, col_indices[eid_c], 0)
     src = jnp.where(mask, f[rank_c], 0)

@@ -1,0 +1,226 @@
+"""Pallas TPU kernels for the irregular hot ops.
+
+XLA lowers arbitrary gathers element-serially on TPU (~110M elem/s
+measured on v5e) — 'advance' and pull-mode traversal are gather-bound, so
+the reference's throughput story (HBM-bandwidth CUDA gathers) needs real
+kernels here. The key hardware fact (probed, scripts/pallas_probe2.py):
+**per-lane dynamic gather along the 128-lane axis is ~free** via
+``jnp.take_along_axis(.., axis=1)`` inside a Pallas kernel.
+
+``bitmask_gather``: out[i] = bit idx[i] of a packed bitmask resident in
+VMEM. The table is packed 32 bits/word into an (R, 128) int32 array, so a
+1M-vertex frontier mask is 128KB — comfortably VMEM-resident. Per table
+row r: broadcast row, lane-gather at each element's word-lane, select
+where the element's word-row == r. R rounds of 3 VPU ops per block —
+~0.75 vector-ops per index for V=1M.
+
+Used by pull-mode BFS (frontier membership tests over all E edges) and
+any primitive needing "is vertex x in set S" at edge scale.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["bitmask_gather", "bitmask_gather_cumsum", "pack_bitmask",
+           "words_for"]
+
+LANE = 128
+DEFAULT_BLOCK_ROWS = 512          # 64K indices per grid step
+
+
+def words_for(num_bits: int) -> int:
+    """Packed words needed for ``num_bits``, rounded so the word array is
+    (R, 128) with R a multiple of 8 (vreg-aligned)."""
+    words = -(-num_bits // 32)
+    rows = -(-words // LANE)
+    rows = ((rows + 7) // 8) * 8
+    return rows * LANE
+
+
+def pack_bitmask(mask: jax.Array) -> jax.Array:
+    """(V,) bool/int -> (R, 128) int32 packed words (bit v of word v>>5).
+
+    Pure XLA (vertex-scale): reshape to (words, 32) and dot with bit
+    weights — no scatters.
+    """
+    v = mask.shape[0]
+    nwords = words_for(v)
+    pad = nwords * 32 - v
+    m = jnp.concatenate(
+        [mask.astype(jnp.int32),
+         jnp.zeros((pad,), jnp.int32)]) if pad else mask.astype(jnp.int32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)) \
+        .astype(jnp.int32)
+    words = jnp.sum(m.reshape(nwords, 32) * weights[None, :], axis=1,
+                    dtype=jnp.int32)
+    return words.reshape(nwords // LANE, LANE)
+
+
+def _gather_kernel(rows_const: int, t_ref, i_ref, o_ref):
+    ii = i_ref[...]                          # (B,128) vertex ids
+    wid = jax.lax.shift_right_logical(ii, 5)
+    wrow = jax.lax.shift_right_logical(wid, 7)
+    wlane = wid & (LANE - 1)
+    bit = ii & 31
+    shape = ii.shape
+
+    def body(r, acc):
+        rowv = jnp.broadcast_to(t_ref[pl.ds(r, 1), :], shape)
+        # free per-lane dynamic gather along the lane axis
+        rowc = jnp.take_along_axis(rowv, wlane, axis=1)
+        return jnp.where(wrow == r, rowc, acc)
+
+    acc = jax.lax.fori_loop(0, rows_const, body, jnp.zeros(shape, jnp.int32))
+    o_ref[...] = jax.lax.shift_right_logical(acc, bit) & 1
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def _bitmask_gather_2d(words: jax.Array, idx2d: jax.Array, *,
+                       block_rows: int, interpret: bool) -> jax.Array:
+    R = words.shape[0]
+    m = idx2d.shape[0]
+    kernel = functools.partial(_gather_kernel, R)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // block_rows,),
+        in_specs=[pl.BlockSpec((R, LANE), lambda k: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((block_rows, LANE), lambda k: (k, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block_rows, LANE), lambda k: (k, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, LANE), jnp.int32),
+        interpret=interpret,
+    )(words, idx2d)
+
+
+def bitmask_gather(words: jax.Array, idx: jax.Array, *,
+                   block_rows: int = DEFAULT_BLOCK_ROWS,
+                   interpret: bool = False) -> jax.Array:
+    """out[i] = bit ``idx[i]`` of the packed bitmask (0/1 int32).
+
+    ``words``: (R, 128) int32 from :func:`pack_bitmask`. ``idx``: (N,)
+    int32 vertex ids, N a multiple of 128 (pad with any in-range id).
+    """
+    n = idx.shape[0]
+    assert n % LANE == 0, "pad idx to a multiple of 128"
+    m = n // LANE
+    br = min(block_rows, max(((m + 7) // 8) * 8, 8))
+    m_pad = -(-m // br) * br
+    idx2d = idx.reshape(m, LANE)
+    if m_pad != m:
+        idx2d = jnp.concatenate(
+            [idx2d, jnp.zeros((m_pad - m, LANE), idx.dtype)])
+    out = _bitmask_gather_2d(words, idx2d, block_rows=br,
+                             interpret=interpret)
+    return out[:m].reshape(n)
+
+
+def bitmask_gather_reference(words: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """numpy oracle for tests."""
+    flat = np.asarray(words).reshape(-1).astype(np.uint32)
+    i = np.asarray(idx)
+    return ((flat[i >> 5] >> (i & 31)) & 1).astype(np.int32)
+
+
+def _block_cumsum_rowmajor(x: jax.Array) -> jax.Array:
+    """Inclusive row-major cumsum of a (B, 128) int32 block via log-step
+    shifted adds (Mosaic-friendly; no native cumsum lowering needed)."""
+    b = x.shape[0]
+    lanepos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    # prefix along lanes
+    y = x
+    s = 1
+    while s < LANE:
+        y = y + jnp.where(lanepos >= s, pltpu.roll(y, s, 1), 0)
+        s *= 2
+    row_tot = jnp.broadcast_to(y[:, LANE - 1:LANE], x.shape)
+    # prefix of row totals along sublanes (exclusive)
+    rowpos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    z = row_tot
+    s = 1
+    while s < b:
+        z = z + jnp.where(rowpos >= s, pltpu.roll(z, s, 0), 0)
+        s *= 2
+    prev_rows = z - row_tot              # exclusive prefix over rows
+    return y + prev_rows
+
+
+def _gather_cumsum_kernel(rows_const: int, t_ref, i_ref, o_ref, carry_ref):
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        carry_ref[0, 0] = 0
+
+    ii = i_ref[...]
+    wid = jax.lax.shift_right_logical(ii, 5)
+    wrow = jax.lax.shift_right_logical(wid, 7)
+    wlane = wid & (LANE - 1)
+    bit = ii & 31
+    shape = ii.shape
+
+    def body(r, acc):
+        rowv = jnp.broadcast_to(t_ref[pl.ds(r, 1), :], shape)
+        rowc = jnp.take_along_axis(rowv, wlane, axis=1)
+        return jnp.where(wrow == r, rowc, acc)
+
+    acc = jax.lax.fori_loop(0, rows_const, body, jnp.zeros(shape, jnp.int32))
+    hit = jax.lax.shift_right_logical(acc, bit) & 1
+    cs = _block_cumsum_rowmajor(hit) + carry_ref[0, 0]
+    o_ref[...] = cs
+    carry_ref[0, 0] = cs[shape[0] - 1, LANE - 1]
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def _bitmask_gather_cumsum_2d(words: jax.Array, idx2d: jax.Array, *,
+                              block_rows: int, interpret: bool) -> jax.Array:
+    R = words.shape[0]
+    m = idx2d.shape[0]
+    kernel = functools.partial(_gather_cumsum_kernel, R)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // block_rows,),
+        in_specs=[pl.BlockSpec((R, LANE), lambda k: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((block_rows, LANE), lambda k: (k, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block_rows, LANE), lambda k: (k, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, LANE), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
+        interpret=interpret,
+    )(words, idx2d)
+
+
+def bitmask_gather_cumsum(words: jax.Array, idx: jax.Array, *,
+                          block_rows: int = DEFAULT_BLOCK_ROWS,
+                          interpret: bool = False) -> jax.Array:
+    """Fused ``cumsum(bitmask_gather(words, idx))`` (inclusive, int32).
+
+    The TPU grid executes sequentially on one core, so the running total
+    carries across blocks through SMEM scratch — one kernel produces the
+    full running sum of frontier-membership hits, which pull-mode
+    traversal consumes via boundary differences.
+    """
+    n = idx.shape[0]
+    assert n % LANE == 0, "pad idx to a multiple of 128"
+    m = n // LANE
+    br = min(block_rows, max(((m + 7) // 8) * 8, 8))
+    m_pad = -(-m // br) * br
+    idx2d = idx.reshape(m, LANE)
+    if m_pad != m:
+        # pad with an always-miss index? 0 may be a hit — pad AFTER the
+        # real lanes only affects their own positions, which we slice off.
+        idx2d = jnp.concatenate(
+            [idx2d, jnp.zeros((m_pad - m, LANE), idx.dtype)])
+    out = _bitmask_gather_cumsum_2d(words, idx2d, block_rows=br,
+                                    interpret=interpret)
+    return out[:m].reshape(n)

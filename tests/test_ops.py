@@ -84,3 +84,43 @@ def test_pull_reduce_sum():
     vals = jnp.where(jnp.arange(d.e_pad) < d.num_edges, ones, 0.0)
     indeg = np.asarray(gt.ops.pull_reduce(d, vals, op="sum"))
     assert indeg[:5].tolist() == [0.0, 1.0, 1.0, 1.0, 1.0]
+
+
+def test_row_reduce_sorted_sum_min_max():
+    import jax.numpy as jnp
+    from gunrock_tpu.ops.segment import row_reduce_sorted
+    # rows: [0,3) [3,3) [3,7) [7,8)  (row 1 empty)
+    row = jnp.asarray([0, 3, 3, 7, 8], jnp.int32)
+    vals = jnp.asarray([5, 2, 9, 1, 4, 4, 0, 7], jnp.float32)
+    s = row_reduce_sorted(vals, row, op="sum")
+    assert s.tolist() == [16.0, 0.0, 9.0, 7.0]
+    m = row_reduce_sorted(vals, row, op="min")
+    assert m.tolist()[0] == 2.0 and m.tolist()[2] == 0.0 and m.tolist()[3] == 7.0
+    assert m.tolist()[1] == float("inf")
+    M = row_reduce_sorted(vals, row, op="max")
+    assert M.tolist() == [9.0, float("-inf"), 4.0, 7.0]
+
+
+def test_row_reduce_sorted_matches_segment_ops(rmat_small):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import gunrock_tpu as gt
+    from gunrock_tpu.ops.segment import row_reduce_sorted
+    g = gt.to_device(rmat_small, with_csc=True)
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.random(g.e_pad).astype(np.float32))
+    ref_sum = jax.ops.segment_sum(vals, g.csc_edge_dst, g.v_pad,
+                                  indices_are_sorted=True)
+    got_sum = row_reduce_sorted(vals, g.csc_offsets, op="sum")
+    # cumsum-boundary sums differ from per-segment sums by f32
+    # accumulation order; tree-scan error is ~eps*log(E)*|total|.
+    np.testing.assert_allclose(np.asarray(got_sum), np.asarray(ref_sum),
+                               rtol=2e-2, atol=1e-3)
+    ref_min = jax.ops.segment_min(vals, g.csc_edge_dst, g.v_pad,
+                                  indices_are_sorted=True)
+    got_min = row_reduce_sorted(vals, g.csc_offsets, op="min")
+    deg = np.asarray(g.csc_offsets[1:]) - np.asarray(g.csc_offsets[:-1])
+    nz = deg > 0
+    np.testing.assert_allclose(np.asarray(got_min)[nz],
+                               np.asarray(ref_min)[nz], rtol=1e-6)

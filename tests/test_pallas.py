@@ -1,0 +1,86 @@
+"""Pallas kernel correctness (interpret mode on the CPU test platform)."""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+import jax.numpy as jnp
+
+from gunrock_tpu.ops.pallas_kernels import (bitmask_gather,
+                                            bitmask_gather_reference,
+                                            pack_bitmask, words_for)
+
+
+def test_pack_bitmask_roundtrip():
+    rng = np.random.default_rng(0)
+    v = 1000
+    mask = rng.integers(0, 2, v).astype(bool)
+    words = np.asarray(pack_bitmask(jnp.asarray(mask)))
+    assert words.shape == (words_for(v) // 128, 128)
+    idx = np.arange(v, dtype=np.int32)
+    bits = bitmask_gather_reference(words, idx)
+    np.testing.assert_array_equal(bits, mask.astype(np.int32))
+
+
+@pytest.mark.parametrize("v,n", [(4096, 512), (1 << 15, 1 << 12)])
+def test_bitmask_gather_interpret(v, n):
+    rng = np.random.default_rng(1)
+    mask = rng.integers(0, 2, v).astype(bool)
+    words = pack_bitmask(jnp.asarray(mask))
+    idx = rng.integers(0, v, n).astype(np.int32)
+    out = bitmask_gather(words, jnp.asarray(idx), block_rows=2,
+                         interpret=True)
+    ref = bitmask_gather_reference(np.asarray(words), idx)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_bfs_pallas_pull_matches_xla(rmat_small):
+    """Full DO-BFS with the pallas pull path (interpret) == XLA path."""
+    import gunrock_tpu as gt
+    from gunrock_tpu.models.bfs import bfs_device
+    import jax
+
+    dg = gt.to_device(rmat_small, with_csc=True)
+    src = rmat_small.largest_degree_vertex()
+    # interpret-mode pallas inside the while_loop is too slow for CPU CI;
+    # instead check one pull step directly.
+    from gunrock_tpu.models.bfs import _pull_step, _State
+    from gunrock_tpu.enactor import init_stats
+    import jax.numpy as jnp
+
+    labels = jnp.full((dg.v_pad,), -1, jnp.int32).at[src].set(0)
+    st = _State(labels=labels, preds=jnp.zeros((1,), jnp.int32),
+                frontier=jnp.zeros((dg.v_pad,), jnp.int32),
+                n=jnp.int32(1), use_pull=jnp.bool_(False),
+                unexplored=jnp.float32(dg.num_edges), stats=init_stats())
+
+    ref = _pull_step(dg, dg.v_pad, False, st, use_pallas=False)
+
+    import gunrock_tpu.ops.pallas_kernels as pk
+    orig = pk.bitmask_gather
+
+    def interp_gather(words, idx, **kw):
+        kw["interpret"] = True
+        return orig(words, idx, **kw)
+
+    pk.bitmask_gather = interp_gather
+    try:
+        got = _pull_step(dg, dg.v_pad, False, st, use_pallas=True)
+    finally:
+        pk.bitmask_gather = orig
+
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    assert int(got[3]) == int(ref[3])
+
+
+@pytest.mark.parametrize("v,n", [(4096, 1024), (1 << 15, 1 << 13)])
+def test_bitmask_gather_cumsum_interpret(v, n):
+    from gunrock_tpu.ops.pallas_kernels import bitmask_gather_cumsum
+    rng = np.random.default_rng(2)
+    mask = rng.integers(0, 2, v).astype(bool)
+    words = pack_bitmask(jnp.asarray(mask))
+    idx = rng.integers(0, v, n).astype(np.int32)
+    out = bitmask_gather_cumsum(words, jnp.asarray(idx), block_rows=2,
+                                interpret=True)
+    ref = np.cumsum(bitmask_gather_reference(np.asarray(words), idx))
+    np.testing.assert_array_equal(np.asarray(out), ref)

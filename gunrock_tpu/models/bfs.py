@@ -57,8 +57,8 @@ class BfsResult:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["labels", "preds", "frontier", "n", "use_pull",
-                 "unexplored", "stats"],
+    data_fields=["labels", "preds", "frontier", "n", "m_f", "fvalid",
+                 "use_pull", "unexplored", "stats"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +67,12 @@ class _State:
     preds: jax.Array       # (v_pad,) or (1,) int32
     frontier: jax.Array    # (fcap,) int32
     n: jax.Array           # () int32
+    m_f: jax.Array         # () int32 — degree sum of the current frontier,
+    #                          maintained by the producing step so the hot
+    #                          loop never rescans the frontier
+    fvalid: jax.Array      # () bool — frontier queue in sync with labels
+    #                          (pull mode skips materializing the queue;
+    #                           push rebuilds it lazily on mode switch)
     use_pull: jax.Array    # () bool
     unexplored: jax.Array  # () float32 — approx edges out of unvisited vertices
     stats: LoopStats
@@ -85,7 +91,15 @@ def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool):
     def make(cap: int):
         def step(state: _State):
             depth = state.stats.iteration + 1
-            ex = expand(graph, state.frontier, state.n, cap)
+            cur = state.stats.iteration
+            # Lazy queue rebuild after pull iterations (the pull step
+            # leaves the frontier as the label mask).
+            frontier0, n0 = jax.lax.cond(
+                state.fvalid,
+                lambda: (state.frontier, state.n),
+                lambda: frontier_from_mask(state.labels == cur, fcap),
+            )
+            ex = expand(graph, frontier0, n0, cap)
             is_new = ex.mask & (state.labels[ex.dst] == INVALID)
             keep = dedup_winners(ex.dst, is_new, graph.v_pad)
             labels = scatter_set(state.labels, ex.dst, depth, mask=keep)
@@ -93,8 +107,11 @@ def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool):
             if mark_preds:
                 preds = scatter_set(preds, ex.dst, ex.src, mask=keep)
             frontier, n = compact(ex.dst, keep, fcap)
+            deg_dst = graph.row_offsets[ex.dst + 1] - graph.row_offsets[ex.dst]
+            m_f_next = jnp.sum(jnp.where(keep, deg_dst, 0))
             overflow = ex.total > cap
-            return labels, preds, frontier, n, ex.total, overflow
+            return (labels, preds, frontier, n, m_f_next,
+                    jnp.bool_(True), ex.total, overflow)
         return step
     return make
 
@@ -128,9 +145,13 @@ def _pull_step(graph: DeviceGraph, fcap: int, mark_preds: bool,
                run0[graph.csc_offsets[:-1]]) > 0
     new_mask = (state.labels == INVALID) & reached
     labels = jnp.where(new_mask, depth, state.labels)
-    frontier, n = frontier_from_mask(new_mask, fcap)
+    n = jnp.sum(new_mask.astype(jnp.int32))
+    deg = graph.row_offsets[1:] - graph.row_offsets[:-1]
+    m_f_next = jnp.sum(jnp.where(new_mask, deg, 0))
     edges = jnp.int32(min(graph.num_edges, 2**31 - 1))
-    return labels, state.preds, frontier, n, edges, jnp.bool_(False)
+    # Skip materializing the queue: the frontier IS labels == depth.
+    return (labels, state.preds, state.frontier, n, m_f_next,
+            jnp.bool_(False), edges, jnp.bool_(False))
 
 
 def _fill_preds(graph: DeviceGraph, labels: jax.Array,
@@ -166,7 +187,7 @@ def _bfs_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array, *,
                (~state.stats.overflow)
 
     def body(state: _State):
-        m_f = _frontier_degree_sum(graph, state.frontier, state.n)
+        m_f = state.m_f
 
         if direction_optimized:
             # Beamer-style direction vote (reference per-GPU votes with
@@ -176,7 +197,8 @@ def _bfs_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array, *,
             to_push = state.n.astype(jnp.float32) * jnp.float32(beta) < \
                 jnp.float32(graph.num_nodes)
             use_pull = jnp.where(state.use_pull, ~to_push, to_pull)
-            labels, preds, frontier, n, edges, overflow = jax.lax.cond(
+            (labels, preds, frontier, n, m_f_next, fvalid, edges,
+             overflow) = jax.lax.cond(
                 use_pull,
                 lambda s: _pull_step(graph, fcap, mark_preds, s,
                                      use_pallas=pallas_pull),
@@ -185,21 +207,22 @@ def _bfs_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array, *,
             )
         else:
             use_pull = state.use_pull
-            labels, preds, frontier, n, edges, overflow = dispatch_by_size(
-                m_f, caps, push, state)
+            (labels, preds, frontier, n, m_f_next, fvalid, edges,
+             overflow) = dispatch_by_size(m_f, caps, push, state)
 
         stats = record_iteration(state.stats, frontier_len=n, edges=edges,
                                  overflow=overflow)
         return _State(
             labels=labels, preds=preds, frontier=frontier, n=n,
-            use_pull=use_pull,
+            m_f=m_f_next, fvalid=fvalid, use_pull=use_pull,
             unexplored=state.unexplored - m_f.astype(jnp.float32),
             stats=stats,
         )
 
     init = _State(
         labels=labels, preds=preds, frontier=frontier, n=jnp.int32(1),
-        use_pull=jnp.bool_(False),
+        m_f=(graph.row_offsets[src + 1] - graph.row_offsets[src]),
+        fvalid=jnp.bool_(True), use_pull=jnp.bool_(False),
         unexplored=jnp.float32(graph.num_edges),
         stats=init_stats(),
     )

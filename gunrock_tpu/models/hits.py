@@ -23,6 +23,7 @@ import numpy as np
 
 from ..enactor import Timer
 from ..graph.csr import CsrGraph
+from ..ops.segment import row_reduce_sorted
 from ..graph.device import DeviceGraph, to_device
 from ..utils.info import make_info
 
@@ -47,13 +48,12 @@ def _hits_loop(graph: DeviceGraph, max_iters: jax.Array):
     def body(i, carry):
         hub, auth = carry
         # auth[v] = sum of hub over in-neighbors (advance over CSC).
-        auth = jax.ops.segment_sum(hub[graph.csc_indices],
-                                   graph.csc_edge_dst, v_pad,
-                                   indices_are_sorted=True)
+        auth = row_reduce_sorted(hub[graph.csc_indices],
+                                 graph.csc_offsets, op="sum")
         auth = auth / jnp.maximum(jnp.max(auth), 1e-12)
         # hub[u] = sum of auth over out-neighbors (advance over CSR).
-        hub = jax.ops.segment_sum(auth[graph.col_indices], src_seg, v_pad,
-                                  indices_are_sorted=True)
+        hub = row_reduce_sorted(auth[graph.col_indices],
+                                graph.row_offsets, op="sum")
         hub = hub / jnp.maximum(jnp.max(hub), 1e-12)
         return hub, auth
 

@@ -28,6 +28,7 @@ import numpy as np
 
 from ..enactor import LoopStats, Timer, init_stats, record_iteration
 from ..graph.csr import CsrGraph
+from ..ops.segment import row_reduce_sorted
 from ..graph.device import DeviceGraph, to_device
 from ..utils.info import make_info
 
@@ -71,9 +72,9 @@ def _pr_loop(graph: DeviceGraph, max_iters: jax.Array,
     def body(state: _State):
         contrib = state.rank * inv_deg
         edge_vals = contrib[graph.csc_indices]
-        # Mask padded CSC slots (their segment id is v_pad -> dropped).
-        incoming = jax.ops.segment_sum(
-            edge_vals, graph.csc_edge_dst, v_pad, indices_are_sorted=True)
+        # Padded CSC slots lie beyond every row end, so the scan-based
+        # reduction drops them without masking.
+        incoming = row_reduce_sorted(edge_vals, graph.csc_offsets, op="sum")
         new_rank = reset + damping * incoming
         if normalized and compensate:
             # Redistribute dangling-vertex mass uniformly.

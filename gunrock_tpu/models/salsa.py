@@ -23,6 +23,7 @@ import numpy as np
 
 from ..enactor import Timer
 from ..graph.csr import CsrGraph
+from ..ops.segment import row_reduce_sorted
 from ..graph.device import DeviceGraph, to_device
 from ..utils.info import make_info
 
@@ -49,12 +50,10 @@ def _salsa_loop(graph: DeviceGraph, max_iters: jax.Array):
 
     def body(i, carry):
         hub, auth = carry
-        auth = jax.ops.segment_sum(
-            (hub * inv_out)[graph.csc_indices], graph.csc_edge_dst, v_pad,
-            indices_are_sorted=True)
-        hub = jax.ops.segment_sum(
-            (auth * inv_in)[graph.col_indices], graph.edge_src, v_pad,
-            indices_are_sorted=True)
+        auth = row_reduce_sorted((hub * inv_out)[graph.csc_indices],
+                                 graph.csc_offsets, op="sum")
+        hub = row_reduce_sorted((auth * inv_in)[graph.col_indices],
+                                graph.row_offsets, op="sum")
         return hub, auth
 
     return jax.lax.fori_loop(0, max_iters, body, (hub0, auth0))

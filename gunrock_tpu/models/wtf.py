@@ -32,6 +32,7 @@ import numpy as np
 
 from ..enactor import Timer, capacity_ladder, dispatch_by_size
 from ..graph.csr import CsrGraph
+from ..ops.segment import row_reduce_sorted
 from ..graph.device import DeviceGraph, to_device
 from ..ops.advance import expand
 from ..ops.segment import scatter_add
@@ -68,9 +69,8 @@ def _wtf_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array,
 
     def pr_body(carry):
         rank, _, it = carry
-        incoming = jax.ops.segment_sum(
-            (rank * inv_out)[graph.csc_indices], graph.csc_edge_dst, v_pad,
-            indices_are_sorted=True)
+        incoming = row_reduce_sorted((rank * inv_out)[graph.csc_indices],
+                                     graph.csc_offsets, op="sum")
         new_rank = delta * incoming + (1.0 - delta) * is_src
         new_rank = jnp.where(vmask, new_rank, 0.0)
         return new_rank, jnp.sum(jnp.abs(new_rank - rank)), it + 1

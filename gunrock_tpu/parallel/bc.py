@@ -34,6 +34,7 @@ from ..enactor import Timer
 from ..graph.csr import CsrGraph
 from ..utils.info import make_info
 from .mesh import AXIS, make_mesh, pvary
+from ..ops.segment import row_reduce_sorted
 from .partition import PartitionedGraph, partition
 
 __all__ = ["bc_sharded", "bc_sharded_device", "ShardedBcResult"]
@@ -47,11 +48,9 @@ class ShardedBcResult:
     info: dict
 
 
-def _edge_segments(row, cap, S):
+def _edge_valid(row, cap):
     lane = jnp.arange(cap, dtype=jnp.int32)
-    evalid = lane < row[-1]
-    seg = jnp.searchsorted(row, lane, side="right").astype(jnp.int32) - 1
-    return evalid, jnp.where(evalid, seg, S)
+    return lane < row[-1]
 
 
 def _make_bc_fn(pg: PartitionedGraph, *, axis: str, mesh: Mesh):
@@ -66,8 +65,8 @@ def _make_bc_fn(pg: PartitionedGraph, *, axis: str, mesh: Mesh):
         ccol = ccol.reshape(-1)
         my_base = jax.lax.axis_index(axis).astype(jnp.int32) * S
 
-        out_valid, out_seg = _edge_segments(row, col.shape[0], S)
-        in_valid, in_seg = _edge_segments(crow, ccol.shape[0], S)
+        out_valid = _edge_valid(row, col.shape[0])
+        in_valid = _edge_valid(crow, ccol.shape[0])
         col_safe = jnp.where(out_valid, col, 0)
         ccol_safe = jnp.where(in_valid, ccol, 0)
 
@@ -85,9 +84,8 @@ def _make_bc_fn(pg: PartitionedGraph, *, axis: str, mesh: Mesh):
             labels, _, d = carry
             lG = jax.lax.all_gather(labels, axis, tiled=True)
             hit = in_valid & (lG[ccol_safe] == d - 1)
-            reached = jax.ops.segment_max(
-                hit.astype(jnp.int32), in_seg, S,
-                indices_are_sorted=True) > 0
+            reached = row_reduce_sorted(hit.astype(jnp.int32), crow,
+                                        op="sum") > 0
             new = (labels == -1) & reached
             labels = jnp.where(new, d, labels)
             changed = jax.lax.psum(jnp.sum(new.astype(jnp.int32)), axis)
@@ -105,8 +103,7 @@ def _make_bc_fn(pg: PartitionedGraph, *, axis: str, mesh: Mesh):
             lG = jax.lax.all_gather(labels, axis, tiled=True)
             contrib = jnp.where(in_valid & (lG[ccol_safe] == d - 1),
                                 sG[ccol_safe], 0.0)
-            s = jax.ops.segment_sum(contrib, in_seg, S,
-                                    indices_are_sorted=True)
+            s = row_reduce_sorted(contrib, crow, op="sum")
             return jnp.where(labels == d, s, sigma)
 
         sigma = jax.lax.fori_loop(1, depth + 1, fwd_body, sigma)
@@ -125,8 +122,7 @@ def _make_bc_fn(pg: PartitionedGraph, *, axis: str, mesh: Mesh):
             ratio = jnp.where(nbr_ok,
                               (1.0 + dG[col_safe]) /
                               jnp.maximum(sG[col_safe], 1e-30), 0.0)
-            acc = jax.ops.segment_sum(ratio, out_seg, S,
-                                      indices_are_sorted=True)
+            acc = row_reduce_sorted(ratio, row, op="sum")
             return jnp.where(labels == d, sigma * acc, delta)
 
         delta = jax.lax.fori_loop(0, jnp.maximum(depth, 0), bwd_body, delta)

@@ -32,6 +32,7 @@ from ..enactor import Timer
 from ..graph.csr import CsrGraph
 from ..utils.info import make_info
 from .mesh import AXIS, make_mesh
+from ..ops.segment import row_reduce_sorted
 from .partition import PartitionedGraph, partition
 
 __all__ = ["cc_sharded", "cc_sharded_device", "ShardedCcResult"]
@@ -55,8 +56,6 @@ def _make_cc_fn(pg: PartitionedGraph, *, axis: str, mesh: Mesh):
 
         lane = jnp.arange(col.shape[0], dtype=jnp.int32)
         evalid = lane < row[-1]
-        seg = jnp.searchsorted(row, lane, side="right").astype(jnp.int32) - 1
-        seg = jnp.where(evalid, seg, S)
         col_safe = jnp.where(evalid, col, 0)
 
         vid = my_base + jnp.arange(S, dtype=jnp.int32)
@@ -71,7 +70,7 @@ def _make_cc_fn(pg: PartitionedGraph, *, axis: str, mesh: Mesh):
             compG = jax.lax.all_gather(comp, axis, tiled=True)  # (p*S,)
             # Hook: min over out-neighbors' components.
             nbr = jnp.where(evalid, compG[col_safe], jnp.int32(0x7FFFFFFF))
-            m = jax.ops.segment_min(nbr, seg, S, indices_are_sorted=True)
+            m = row_reduce_sorted(nbr, row, op="min")
             hooked = jnp.minimum(comp, m)
             # Pointer jumping: comp <- comp[comp], twice per superstep
             # (each application halves tree height).

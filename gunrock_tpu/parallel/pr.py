@@ -22,6 +22,7 @@ from ..enactor import Timer
 from ..graph.csr import CsrGraph
 from ..utils.info import make_info
 from .mesh import AXIS, make_mesh
+from ..ops.segment import row_reduce_sorted
 from .partition import PartitionedGraph, partition
 
 __all__ = ["pagerank_sharded", "pagerank_sharded_device",
@@ -47,10 +48,7 @@ def _make_pr_fn(pg: PartitionedGraph, *, damping: float, normalized: bool,
         col = col.reshape(-1)             # (E,)   global source ids
         out_deg_local = out_deg_local.reshape(-1)   # (S,)
         vmask_local = vmask_local.reshape(-1)       # (S,) real-vertex mask
-        # per-CSC-edge destination segment ids (local), fill S for padding
         lane = jnp.arange(col.shape[0], dtype=jnp.int32)
-        seg = jnp.searchsorted(row, lane, side="right").astype(jnp.int32) - 1
-        seg = jnp.where(lane < row[-1], seg, S)
 
         inv_deg_local = jnp.where(out_deg_local > 0,
                                   1.0 / jnp.maximum(out_deg_local, 1.0), 0.0)
@@ -69,9 +67,7 @@ def _make_pr_fn(pg: PartitionedGraph, *, damping: float, normalized: bool,
             contrib = jax.lax.all_gather(contrib_local, axis,
                                          tiled=True)      # (p*S,)
             vals = contrib[jnp.where(lane < row[-1], col, 0)]
-            vals = jnp.where(lane < row[-1], vals, 0.0)
-            incoming = jax.ops.segment_sum(vals, seg, S,
-                                           indices_are_sorted=True)
+            incoming = row_reduce_sorted(vals, row, op="sum")
             new_rank = jnp.where(vmask_local, reset + damping * incoming,
                                  0.0)
             updated = vmask_local & (jnp.abs(new_rank - rank) > threshold)

@@ -51,26 +51,28 @@ def test_bfs_pallas_pull_matches_xla(rmat_small):
     labels = jnp.full((dg.v_pad,), -1, jnp.int32).at[src].set(0)
     st = _State(labels=labels, preds=jnp.zeros((1,), jnp.int32),
                 frontier=jnp.zeros((dg.v_pad,), jnp.int32),
-                n=jnp.int32(1), use_pull=jnp.bool_(False),
+                n=jnp.int32(1), m_f=jnp.int32(0), fvalid=jnp.bool_(True),
+                use_pull=jnp.bool_(False),
                 unexplored=jnp.float32(dg.num_edges), stats=init_stats())
 
     ref = _pull_step(dg, dg.v_pad, False, st, use_pallas=False)
 
     import gunrock_tpu.ops.pallas_kernels as pk
-    orig = pk.bitmask_gather
+    orig = pk.bitmask_gather_cumsum
 
     def interp_gather(words, idx, **kw):
         kw["interpret"] = True
         return orig(words, idx, **kw)
 
-    pk.bitmask_gather = interp_gather
+    pk.bitmask_gather_cumsum = interp_gather
     try:
         got = _pull_step(dg, dg.v_pad, False, st, use_pallas=True)
     finally:
-        pk.bitmask_gather = orig
+        pk.bitmask_gather_cumsum = orig
 
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
-    assert int(got[3]) == int(ref[3])
+    assert int(got[3]) == int(ref[3])      # n
+    assert int(got[4]) == int(ref[4])      # m_f_next
 
 
 @pytest.mark.parametrize("v,n", [(4096, 1024), (1 << 15, 1 << 13)])

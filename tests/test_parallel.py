@@ -98,7 +98,8 @@ def test_pagerank_sharded_matches_single_chip(rmat_small):
     multi = pagerank_sharded(rmat_small, num_shards=4, max_iters=40,
                              threshold=1e-8)
     single = pagerank(rmat_small, max_iters=40, threshold=1e-8)
-    np.testing.assert_allclose(multi.ranks, single.ranks, rtol=1e-4)
+    np.testing.assert_allclose(multi.ranks, single.ranks, rtol=2e-3,
+                               atol=1e-7)
 
 
 @pytest.mark.parametrize("num_shards", [2, 4])

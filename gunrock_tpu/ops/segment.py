@@ -121,7 +121,8 @@ def row_reduce_sorted(vals: jax.Array, row_offsets: jax.Array, *,
     if op == "sum":
         run = jnp.cumsum(vals)
         run0 = jnp.concatenate([jnp.zeros((1,), vals.dtype), run])
-        return run0[ends] - run0[starts]
+        samples = jnp.take(run0, row_offsets, indices_are_sorted=True)
+        return samples[1:] - samples[:-1]
 
     if op not in ("min", "max"):
         raise ValueError(f"unknown op {op!r}")
@@ -146,7 +147,8 @@ def row_reduce_sorted(vals: jax.Array, row_offsets: jax.Array, *,
         return jnp.where(fb, vb, combine(va, vb)), fa | fb
 
     seg_vals, _ = jax.lax.associative_scan(scan_op, (vals, flags))
-    out = seg_vals[jnp.maximum(ends - 1, 0)]
+    out = jnp.take(seg_vals, jnp.maximum(ends - 1, 0),
+                   indices_are_sorted=True)
     return jnp.where(ends > starts, out, identity)
 
 

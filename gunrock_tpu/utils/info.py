@@ -22,6 +22,26 @@ import numpy as np
 __all__ = ["make_info", "write_info"]
 
 
+_GIT_SHA: Optional[str] = None
+
+
+def _git_sha() -> str:
+    """Repo git SHA for run records (reference ``util/gitsha1.h``)."""
+    global _GIT_SHA
+    if _GIT_SHA is None:
+        import subprocess
+        try:
+            _GIT_SHA = subprocess.run(
+                ["git", "-C", os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))),
+                 "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=5,
+            ).stdout.strip() or "unknown"
+        except Exception:
+            _GIT_SHA = "unknown"
+    return _GIT_SHA
+
+
 def _device_info() -> dict:
     try:
         import jax
@@ -42,6 +62,7 @@ def make_info(*, primitive: str, graph, stats=None, timer=None,
         "primitive": primitive,
         "engine": "gunrock_tpu",
         "command_line": " ".join(sys.argv),
+        "git_commit_sha1": _git_sha(),
         "time": datetime.datetime.now().isoformat(),
         "sysinfo": {"machine": platform.machine(),
                     "system": platform.system(),

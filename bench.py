@@ -53,7 +53,7 @@ def main():
 
     g = load_graph()
     src = g.largest_degree_vertex()
-    dgraph = gt.to_device(g, with_csc=True)
+    dgraph = gt.to_device(g, with_csc=True, with_blocked_csc=True)
 
     run = lambda: jax.block_until_ready(
         bfs_device(dgraph, src, direction_optimized=True))

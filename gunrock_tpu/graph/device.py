@@ -43,8 +43,11 @@ def round_up(x: int, m: int = LANE) -> int:
     data_fields=[
         "row_offsets", "col_indices", "edge_values", "edge_src",
         "csc_offsets", "csc_indices", "csc_edge_values", "csc_edge_dst",
+        "bcsc_src", "bcsc_dst", "bcsc_group_of_block", "bcsc_sample_pos",
+        "bcsc_sample_valid",
     ],
-    meta_fields=["num_nodes", "num_edges", "v_pad", "e_pad"],
+    meta_fields=["num_nodes", "num_edges", "v_pad", "e_pad",
+                 "bcsc_groups", "bcsc_rows_per_group", "bcsc_block_rows"],
 )
 @dataclasses.dataclass(frozen=True)
 class DeviceGraph:
@@ -74,10 +77,27 @@ class DeviceGraph:
     csc_indices: Optional[jax.Array]       # (e_pad,)   int32 (source u per in-edge)
     csc_edge_values: Optional[jax.Array]   # (e_pad,)   float32
     csc_edge_dst: Optional[jax.Array]      # (e_pad,)   int32 (dest v per in-edge, fill v_pad)
+    # Blocked CSC — the pull-kernel edge layout: edges grouped by SOURCE
+    # block (group k owns src in [k*v_pad/K, (k+1)*v_pad/K)), sorted by
+    # (dst, src) within each group, each group padded to a multiple of
+    # bcsc_block_rows*128. Cuts the in-kernel frontier-bitmask gather to
+    # rows_per_group rounds and enables static per-word result sampling.
+    bcsc_src: Optional[jax.Array] = None            # (E',) int32
+    bcsc_dst: Optional[jax.Array] = None            # (E',) int32
+    bcsc_group_of_block: Optional[jax.Array] = None  # (E'/(br*128),) int32
+    bcsc_sample_pos: Optional[jax.Array] = None     # (K, v_pad//32) int32
+    bcsc_sample_valid: Optional[jax.Array] = None   # (K, v_pad//32) bool
+    bcsc_groups: int = 0                            # K (0 = not built)
+    bcsc_rows_per_group: int = 0                    # bitmask rows per group
+    bcsc_block_rows: int = 0                        # kernel block height
 
     @property
     def has_csc(self) -> bool:
         return self.csc_offsets is not None
+
+    @property
+    def has_blocked_csc(self) -> bool:
+        return self.bcsc_groups > 0
 
     @property
     def has_edge_values(self) -> bool:
@@ -108,12 +128,93 @@ def _edge_seg_ids(row_offsets: np.ndarray, num_nodes: int, e_pad: int,
     return _pad_edges(seg, e_pad, v_pad)
 
 
+def _bitmask_rows(v_pad: int) -> int:
+    """Rows of the packed bitmask for v_pad bits (mirror of
+    ops.pallas_kernels.words_for)."""
+    words = -(-v_pad // 32)
+    rows = -(-words // 128)
+    return ((rows + 7) // 8) * 8
+
+
+def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int):
+    """Blocked-CSC edge layout for the pull kernel.
+
+    Edges grouped by source block (K groups), sorted by (dst, src) per
+    group, padded per group to a block multiple. Also emits the static
+    per-(group, word) sample positions: the inclusive segmented-OR value
+    at the last edge of word w in group k IS the packed reach word — the
+    kernel's consumers read results at these positions instead of doing
+    vertex-scale boundary gathers.
+    """
+    R_base = _bitmask_rows(v_pad)
+    K = 8
+    rpg = max(-(-R_base // K), 8)
+    rpg = ((rpg + 7) // 8) * 8
+    R = rpg * K          # effective (padded) bitmask rows; extra rows zero
+    v_per_group = rpg * 128 * 32
+    nwords = R * 128
+    block_edges = block_rows * 128
+
+    src = g.edge_sources().astype(np.int64)   # CSR order; regroup below
+    dst = g.col_indices.astype(np.int64)
+    # Pull kernel reads frontier[src] for in-edges of dst: group by the
+    # SOURCE block, sort by (dst, src) within groups.
+    group = np.minimum(src // v_per_group, K - 1)
+    order = np.lexsort((src, dst, group))
+    gs, ss, ds = group[order], src[order], dst[order]
+
+    counts = np.bincount(gs, minlength=K)
+    padded = -(-np.maximum(counts, 1) // block_edges) * block_edges
+    total = int(padded.sum())
+    starts = np.zeros(K + 1, np.int64)
+    np.cumsum(padded, out=starts[1:])
+
+    bsrc = np.empty(total, np.int32)
+    bdst = np.empty(total, np.int32)
+    sample_pos = np.zeros((K, nwords), np.int32)
+    sample_valid = np.zeros((K, nwords), bool)
+    pad_wid = nwords - 1
+    read = 0
+    for k in range(K):
+        c = int(counts[k])
+        lo = int(starts[k])
+        bsrc[lo:lo + c] = ss[read:read + c]
+        bdst[lo:lo + c] = ds[read:read + c]
+        # out-of-group source => gather always misses => hit 0
+        bsrc[lo + c:starts[k + 1]] = v_pad - 1 if k == 0 else 0
+        bdst[lo + c:starts[k + 1]] = pad_wid * 32 + 31
+        if c:
+            wids = (ds[read:read + c] >> 5).astype(np.int64)
+            # last edge position of each distinct word in this group
+            last = np.nonzero(np.r_[wids[1:] != wids[:-1], True])[0]
+            sample_pos[k, wids[last]] = (lo + last).astype(np.int32)
+            sample_valid[k, wids[last]] = True
+        read += c
+
+    num_blocks = total // block_edges
+    group_of_block = np.repeat(np.arange(K, dtype=np.int32),
+                               (padded // block_edges).astype(np.int64))
+    assert group_of_block.shape[0] == num_blocks
+    return dict(
+        bcsc_src=jnp.asarray(bsrc),
+        bcsc_dst=jnp.asarray(bdst),
+        bcsc_group_of_block=jnp.asarray(group_of_block),
+        bcsc_sample_pos=jnp.asarray(sample_pos),
+        bcsc_sample_valid=jnp.asarray(sample_valid),
+        bcsc_groups=K,
+        bcsc_rows_per_group=rpg,
+        bcsc_block_rows=block_rows,
+    )
+
+
 def to_device(
     g: CsrGraph,
     *,
     with_csc: bool = False,
     with_edge_values: bool = False,
     with_edge_src: bool = False,
+    with_blocked_csc: bool = False,
+    blocked_block_rows: Optional[int] = None,
 ) -> DeviceGraph:
     """Upload a host CSR to the device with tile-aligned padding.
 
@@ -149,6 +250,13 @@ def to_device(
             csc_ev = jnp.asarray(_pad_edges(tv.astype(np.float32), e_pad, 0.0))
         csc_dst = jnp.asarray(_edge_seg_ids(t.row_offsets, t.num_nodes, e_pad, v_pad))
 
+    blocked = {}
+    if with_blocked_csc:
+        br = blocked_block_rows or (512 if e_pad >= (1 << 22) else 8)
+        built = build_blocked_csc(g, v_pad, br)
+        if built is not None:
+            blocked = built
+
     return DeviceGraph(
         num_nodes=g.num_nodes,
         num_edges=g.num_edges,
@@ -162,4 +270,5 @@ def to_device(
         csc_indices=csc_idx,
         csc_edge_values=csc_ev,
         csc_edge_dst=csc_dst,
+        **blocked,
     )

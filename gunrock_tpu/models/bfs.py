@@ -87,7 +87,8 @@ def _frontier_degree_sum(graph: DeviceGraph, frontier: jax.Array,
     return jnp.sum(deg)
 
 
-def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool):
+def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool,
+                      use_pallas: bool = False):
     def make(cap: int):
         def step(state: _State):
             depth = state.stats.iteration + 1
@@ -99,8 +100,19 @@ def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool):
                 lambda: (state.frontier, state.n),
                 lambda: frontier_from_mask(state.labels == cur, fcap),
             )
-            ex = expand(graph, frontier0, n0, cap)
-            is_new = ex.mask & (state.labels[ex.dst] == INVALID)
+            # Sort the frontier so every gather in the expansion is
+            # monotonic (inactive lanes sink to the tail as +inf).
+            fr = jnp.sort(jnp.where(
+                jnp.arange(fcap, dtype=jnp.int32) < n0, frontier0,
+                jnp.int32(0x7FFFFFF0)))
+            fr = jnp.minimum(fr, graph.v_pad - 1)
+            ex = expand(graph, fr, n0, cap, sorted_frontier=True)
+            if use_pallas:
+                from ..ops.pallas_kernels import bitmask_gather, pack_bitmask
+                unvisited = pack_bitmask(state.labels == INVALID)
+                is_new = ex.mask & (bitmask_gather(unvisited, ex.dst) > 0)
+            else:
+                is_new = ex.mask & (state.labels[ex.dst] == INVALID)
             keep = dedup_winners(ex.dst, is_new, graph.v_pad)
             labels = scatter_set(state.labels, ex.dst, depth, mask=keep)
             preds = state.preds
@@ -133,18 +145,30 @@ def _pull_step(graph: DeviceGraph, fcap: int, mark_preds: bool,
     irregular writes."""
     depth = state.stats.iteration + 1
     cur = state.stats.iteration
-    if use_pallas:
-        from ..ops.pallas_kernels import bitmask_gather_cumsum, pack_bitmask
-        words = pack_bitmask(state.labels == cur)
-        run = bitmask_gather_cumsum(words, graph.csc_indices)
+    if use_pallas and graph.has_blocked_csc:
+        # Fast path: one blocked kernel pass (grouped gather + fused
+        # segmented OR), packed reach words sampled at static positions —
+        # no cumsum, no vertex-scale boundary gathers.
+        from ..ops.pallas_kernels import (pack_bitmask, pull_reached_words,
+                                          unpack_bitmask)
+        rows = graph.bcsc_groups * graph.bcsc_rows_per_group
+        words = pack_bitmask(state.labels == cur, rows=rows)
+        reached = unpack_bitmask(pull_reached_words(words, graph),
+                                 graph.v_pad)
     else:
-        hit = (state.labels[graph.csc_indices] == cur).astype(jnp.int32)
-        run = jnp.cumsum(hit)
-    run0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), run])
-    # One sorted gather at all row boundaries, then adjacent diffs
-    # (row_offsets are sorted — the hint buys ~2x on TPU).
-    samples = jnp.take(run0, graph.csc_offsets, indices_are_sorted=True)
-    reached = (samples[1:] - samples[:-1]) > 0
+        if use_pallas:
+            from ..ops.pallas_kernels import (bitmask_gather_cumsum,
+                                              pack_bitmask)
+            words = pack_bitmask(state.labels == cur)
+            run = bitmask_gather_cumsum(words, graph.csc_indices)
+        else:
+            hit = (state.labels[graph.csc_indices] == cur).astype(jnp.int32)
+            run = jnp.cumsum(hit)
+        run0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), run])
+        # One sorted gather at all row boundaries, then adjacent diffs
+        # (row_offsets are sorted — the hint buys ~2x on TPU).
+        samples = jnp.take(run0, graph.csc_offsets, indices_are_sorted=True)
+        reached = (samples[1:] - samples[:-1]) > 0
     new_mask = (state.labels == INVALID) & reached
     labels = jnp.where(new_mask, depth, state.labels)
     n = jnp.sum(new_mask.astype(jnp.int32))
@@ -182,7 +206,8 @@ def _bfs_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array, *,
              else jnp.zeros((1,), jnp.int32))
     frontier = jnp.zeros((fcap,), jnp.int32).at[0].set(src)
 
-    push = _make_push_branch(graph, fcap, mark_preds)
+    push = _make_push_branch(graph, fcap, mark_preds,
+                             use_pallas=pallas_pull)
 
     def cond(state: _State):
         return (state.n > 0) & (state.stats.iteration < max_iters) & \
@@ -284,7 +309,8 @@ def bfs(graph: Union[CsrGraph, DeviceGraph], src: Union[int, str] = 0, *,
         if src == "largestdegree":
             src = graph.largest_degree_vertex()
         with timer.time("preprocess_ms"):
-            dgraph = to_device(graph, with_csc=direction_optimized)
+            dgraph = to_device(graph, with_csc=direction_optimized,
+                               with_blocked_csc=direction_optimized)
     else:
         dgraph = graph
     src = int(src)

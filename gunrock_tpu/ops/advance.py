@@ -64,13 +64,16 @@ class ExpandedEdges:
 
 def _expand_csr(row_offsets: jax.Array, col_indices: jax.Array,
                 frontier: jax.Array, n: jax.Array,
-                out_cap: int) -> ExpandedEdges:
+                out_cap: int, sorted_frontier: bool = False) -> ExpandedEdges:
     cin = frontier.shape[0]
     lane_in = jnp.arange(cin, dtype=jnp.int32)
     valid = lane_in < n
     f = jnp.where(valid, frontier, 0)
-    start = row_offsets[f]
-    deg = jnp.where(valid, row_offsets[f + 1] - start, 0)
+    start = jnp.take(row_offsets, f, indices_are_sorted=sorted_frontier)
+    deg = jnp.where(
+        valid,
+        jnp.take(row_offsets, f + 1,
+                 indices_are_sorted=sorted_frontier) - start, 0)
     ends = jnp.cumsum(deg)                     # inclusive scan
     total = ends[-1] if cin > 0 else jnp.int32(0)
 
@@ -92,17 +95,30 @@ def _expand_csr(row_offsets: jax.Array, col_indices: jax.Array,
     j = jnp.arange(out_cap, dtype=jnp.int32)
     eid = start[rank_c] + (j - seg_start)
     mask = (j < total) & (rank >= 0)
-    eid_c = jnp.where(mask, eid, 0)
-    dst = jnp.where(mask, col_indices[eid_c], 0)
+    if sorted_frontier:
+        # Sorted frontier => eids ascend monotonically across lanes
+        # (inactive tail pinned to the last edge keeps the order), so the
+        # big edge gather takes the sorted fast path.
+        eid_c = jnp.where(mask, eid, col_indices.shape[0] - 1)
+        dst = jnp.where(mask,
+                        jnp.take(col_indices, eid_c,
+                                 indices_are_sorted=True), 0)
+        eid_c = jnp.where(mask, eid_c, 0)
+    else:
+        eid_c = jnp.where(mask, eid, 0)
+        dst = jnp.where(mask, col_indices[eid_c], 0)
     src = jnp.where(mask, f[rank_c], 0)
     return ExpandedEdges(src=src, dst=dst, eid=eid_c, rank=rank_c,
                          mask=mask, total=total)
 
 
 def expand(graph: DeviceGraph, frontier: jax.Array, n: jax.Array,
-           out_cap: int) -> ExpandedEdges:
-    """Push-mode advance (V2V/V2E over the forward CSR)."""
-    return _expand_csr(graph.row_offsets, graph.col_indices, frontier, n, out_cap)
+           out_cap: int, sorted_frontier: bool = False) -> ExpandedEdges:
+    """Push-mode advance (V2V/V2E over the forward CSR). Pass
+    ``sorted_frontier=True`` (active lanes ascending) to enable
+    monotonic-gather fast paths."""
+    return _expand_csr(graph.row_offsets, graph.col_indices, frontier, n,
+                       out_cap, sorted_frontier)
 
 
 def expand_inverse(graph: DeviceGraph, frontier: jax.Array, n: jax.Array,

@@ -21,6 +21,7 @@ any primitive needing "is vertex x in set S" at edge scale.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,8 +29,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bitmask_gather", "bitmask_gather_cumsum", "pack_bitmask",
-           "words_for"]
+__all__ = ["bitmask_gather", "bitmask_gather_cumsum", "blocked_pull_or",
+           "pack_bitmask", "words_for"]
 
 LANE = 128
 DEFAULT_BLOCK_ROWS = 512          # 64K indices per grid step
@@ -44,14 +45,16 @@ def words_for(num_bits: int) -> int:
     return rows * LANE
 
 
-def pack_bitmask(mask: jax.Array) -> jax.Array:
+def pack_bitmask(mask: jax.Array, rows: Optional[int] = None) -> jax.Array:
     """(V,) bool/int -> (R, 128) int32 packed words (bit v of word v>>5).
 
     Pure XLA (vertex-scale): reshape to (words, 32) and dot with bit
-    weights — no scatters.
+    weights — no scatters. ``rows`` overrides the row count (the blocked
+    pull kernel wants K*rows_per_group rows; extra rows are zero).
     """
     v = mask.shape[0]
-    nwords = words_for(v)
+    nwords = rows * LANE if rows is not None else words_for(v)
+    assert nwords * 32 >= v, "rows too small for the mask"
     pad = nwords * 32 - v
     m = jnp.concatenate(
         [mask.astype(jnp.int32),
@@ -127,6 +130,149 @@ def bitmask_gather(words: jax.Array, idx: jax.Array, *,
     out = _bitmask_gather_2d(words, idx2d, block_rows=br,
                              interpret=interpret)
     return out[:m].reshape(n)
+
+
+def _seg_scan_or(vals: jax.Array, key: jax.Array) -> jax.Array:
+    """Row-major inclusive segmented OR over a (B, 128) block; segments
+    are runs of equal (sorted, nondecreasing) ``key``."""
+    b = vals.shape[0]
+    lanepos = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+    y = vals
+    s = 1
+    while s < LANE:
+        ok = (lanepos >= s) & (key == pltpu.roll(key, s, 1))
+        y = y | jnp.where(ok, pltpu.roll(y, s, 1), 0)
+        s *= 2
+    # combine across sublanes via row-last values (kept 128 lanes wide —
+    # narrow last dims hit Mosaic layout restrictions)
+    L = jnp.broadcast_to(y[:, LANE - 1:LANE], vals.shape)
+    LK = jnp.broadcast_to(key[:, LANE - 1:LANE], vals.shape)
+    rowpos = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0)
+    s = 1
+    while s < b:
+        ok = (rowpos >= s) & (LK == pltpu.roll(LK, s, 0))
+        L = L | jnp.where(ok, pltpu.roll(L, s, 0), 0)
+        s *= 2
+    # incoming prefix for each row = combined value of the previous row,
+    # applied to this row's elements that share the previous row's key
+    inc = jnp.where(rowpos >= 1, pltpu.roll(L, 1, 0), 0)
+    prev_k = jnp.where(rowpos >= 1, pltpu.roll(LK, 1, 0), -1)
+    return y | jnp.where(key == prev_k, inc, 0)
+
+
+def _blocked_pull_kernel(rpg: int, g_ref, t_ref, src_ref, dst_ref, o_ref,
+                         carry_ref):
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        carry_ref[0, 0] = 0
+        carry_ref[0, 1] = -1
+
+    g = g_ref[k]
+    src = src_ref[...]                      # (B,128) source vertex ids
+    dst = dst_ref[...]                      # (B,128) sorted dest ids
+    shape = src.shape
+
+    wid_s = jax.lax.shift_right_logical(src, 5)
+    wrow_l = jax.lax.shift_right_logical(wid_s, 7) - g * rpg
+    wlane_s = wid_s & (LANE - 1)
+    bit_s = src & 31
+
+    def body(gg, acc):
+        for u in range(8):
+            r = gg * 8 + u
+            rowv = jnp.broadcast_to(t_ref[pl.ds(r, 1), :], shape)
+            rowc = jnp.take_along_axis(rowv, wlane_s, axis=1)
+            acc = jnp.where(wrow_l == r, rowc, acc)
+        return acc
+
+    acc = jax.lax.fori_loop(0, rpg // 8, body, jnp.zeros(shape, jnp.int32))
+    hit = jax.lax.shift_right_logical(acc, bit_s) & 1
+
+    wid_d = jax.lax.shift_right_logical(dst, 5)
+    contrib = jnp.where(hit > 0,
+                        jax.lax.shift_left(jnp.int32(1), dst & 31), 0)
+    # splice the carry into this block's leading segment
+    contrib = contrib | jnp.where(wid_d == carry_ref[0, 1],
+                                  carry_ref[0, 0], 0)
+    scan = _seg_scan_or(contrib, wid_d)
+    o_ref[...] = scan
+    carry_ref[0, 0] = scan[shape[0] - 1, LANE - 1]
+    carry_ref[0, 1] = wid_d[shape[0] - 1, LANE - 1]
+
+
+@functools.partial(jax.jit, static_argnames=("rpg", "block_rows",
+                                             "interpret"))
+def _blocked_pull_2d(words, src2d, dst2d, group_of_block, *, rpg: int,
+                     block_rows: int, interpret: bool):
+    m = src2d.shape[0]
+    kernel = functools.partial(_blocked_pull_kernel, rpg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m // block_rows,),
+        in_specs=[
+            pl.BlockSpec((rpg, LANE), lambda k, gref: (gref[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANE), lambda k, gref: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANE), lambda k, gref: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, LANE),
+                               lambda k, gref: (k, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((1, 2), jnp.int32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, LANE), jnp.int32),
+        interpret=interpret,
+    )(group_of_block, words, src2d, dst2d)
+
+
+def blocked_pull_or(words: jax.Array, graph, *,
+                    interpret: bool = False) -> jax.Array:
+    """Packed per-word OR of frontier membership over in-edges.
+
+    Consumes a DeviceGraph's blocked CSC (``graph.bcsc_*``): one pass over
+    all edges — per block, gather frontier bits from the group's bitmask
+    slice (rows_per_group rounds), build per-edge one-bit words keyed by
+    dst>>5, segmented-OR with cross-block carry. Returns the per-edge
+    inclusive scan; reach words live at ``graph.bcsc_sample_pos``.
+    """
+    br = graph.bcsc_block_rows
+    src2d = graph.bcsc_src.reshape(-1, LANE)
+    dst2d = graph.bcsc_dst.reshape(-1, LANE)
+    scan = _blocked_pull_2d(words, src2d, dst2d, graph.bcsc_group_of_block,
+                            rpg=graph.bcsc_rows_per_group, block_rows=br,
+                            interpret=interpret)
+    return scan.reshape(-1)
+
+
+def pull_reached_words(words: jax.Array, graph, *,
+                       interpret: bool = False) -> jax.Array:
+    """(nwords,) int32 packed reach bits: bit v set iff some in-neighbor
+    of v is in the frontier bitmask ``words``."""
+    scan = blocked_pull_or(words, graph, interpret=interpret)
+    K = graph.bcsc_groups
+    outs = []
+    for k in range(K):
+        s = jnp.take(scan, graph.bcsc_sample_pos[k],
+                     indices_are_sorted=False)
+        outs.append(jnp.where(graph.bcsc_sample_valid[k], s, 0))
+    acc = outs[0]
+    for o in outs[1:]:
+        acc = acc | o
+    return acc
+
+
+def unpack_bitmask(words_flat: jax.Array, v_pad: int) -> jax.Array:
+    """(nwords,) int32 -> (v_pad,) bool."""
+    bits = (words_flat[:, None] >>
+            jnp.arange(32, dtype=jnp.int32)[None, :]) & 1
+    return bits.reshape(-1)[:v_pad].astype(bool)
 
 
 def bitmask_gather_reference(words: np.ndarray, idx: np.ndarray) -> np.ndarray:

@@ -1,0 +1,136 @@
+"""Full benchmark table: every headline primitive on the bench graph.
+
+Prints one JSON line per primitive (bench.py remains the single-line
+flagship driver). Methodology matches the reference (process time only,
+m_teps = edges_visited/(elapsed_ms*1000), util/info.cuh:1431).
+
+  BENCH_SCALE=20 BENCH_EDGE_FACTOR=32 python bench_all.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SCALE = int(os.environ.get("BENCH_SCALE", "20"))
+EF = int(os.environ.get("BENCH_EDGE_FACTOR", "32"))
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+ONLY = os.environ.get("BENCH_ONLY", "").split(",") if \
+    os.environ.get("BENCH_ONLY") else None
+
+
+def best_ms(fn, runs=RUNS):
+    import jax
+    jax.block_until_ready(fn())
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
+def emit(name, ms, edges, extra=None):
+    rec = {"metric": name, "elapsed_ms": round(ms, 3),
+           "value": round(edges / (ms * 1000.0), 1), "unit": "MTEPS",
+           "edges_counted": int(edges)}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    import jax
+    import numpy as np
+    import gunrock_tpu as gt
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache", f"rmat_n{SCALE}_e{EF}.csr.npz")
+    if os.path.exists(cache):
+        g = gt.CsrGraph.read_binary(cache)
+    else:
+        g = gt.io.rmat(scale=SCALE, edge_factor=EF, seed=1, undirected=True)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        g.write_binary(cache)
+    src = g.largest_degree_vertex()
+    E = g.num_edges
+    degs = np.diff(g.row_offsets).astype(np.int64)
+
+    def want(name):
+        return ONLY is None or name in ONLY
+
+    if want("bfs"):
+        from gunrock_tpu.models.bfs import bfs_device
+        dg = gt.to_device(g, with_csc=True, with_blocked_csc=True)
+        out = jax.block_until_ready(
+            bfs_device(dg, src, direction_optimized=True))
+        reached = np.asarray(out[0])[: g.num_nodes] >= 0
+        ev = int(degs[reached].sum())
+        ms = best_ms(lambda: bfs_device(dg, src, direction_optimized=True))
+        emit(f"bfs_do_rmat{SCALE}", ms, ev,
+             {"search_depth": int(np.asarray(out[0]).max())})
+        del dg
+
+    if want("sssp"):
+        from gunrock_tpu.models.sssp import sssp_device
+        g.random_edge_values(seed=7)
+        dgw = gt.to_device(g, with_edge_values=True)
+        delta = 32.0 * float(np.mean(g.edge_values))
+        out = jax.block_until_ready(
+            sssp_device(dgw, src, mode="nearfar", delta=delta))
+        reached = np.isfinite(np.asarray(out[0])[: g.num_nodes])
+        ev = int(degs[reached].sum())
+        ms = best_ms(lambda: sssp_device(dgw, src, mode="nearfar",
+                                         delta=delta))
+        emit(f"sssp_nf_rmat{SCALE}", ms, ev,
+             {"iters": int(out[2].iteration)})
+        del dgw
+
+    if want("pr"):
+        from gunrock_tpu.models.pr import pagerank_device
+        dgc = gt.to_device(g, with_csc=True)
+        out = jax.block_until_ready(pagerank_device(dgc, max_iters=20,
+                                                    threshold=0.0))
+        iters = int(out[2].iteration)
+        ms = best_ms(lambda: pagerank_device(dgc, max_iters=20,
+                                             threshold=0.0))
+        emit(f"pr_rmat{SCALE}", ms / iters, E,
+             {"note": "per-iteration", "iters": iters})
+
+        if want("hits"):
+            from gunrock_tpu.models.hits import hits_device
+            out = jax.block_until_ready(hits_device(dgc, max_iters=10))
+            ms = best_ms(lambda: hits_device(dgc, max_iters=10))
+            emit(f"hits_rmat{SCALE}", ms / 10, 2 * E,
+                 {"note": "per-iteration"})
+        del dgc
+
+    if want("cc"):
+        from gunrock_tpu.models.cc import cc_device
+        dge = gt.to_device(g, with_edge_src=True)
+        out = jax.block_until_ready(cc_device(dge))
+        ms = best_ms(lambda: cc_device(dge))
+        emit(f"cc_rmat{SCALE}", ms, E, {"iters": int(out[2].iteration)})
+        del dge
+
+    if want("bc"):
+        from gunrock_tpu.models.bc import bc_device
+        dgb = gt.to_device(g)
+        out = jax.block_until_ready(bc_device(dgb, src))
+        ms = best_ms(lambda: bc_device(dgb, src))
+        emit(f"bc_rmat{SCALE}", ms, 2 * E)
+        del dgb
+
+    if want("tc"):
+        from gunrock_tpu.models.tc import tc
+        t0 = time.perf_counter()
+        res = tc(g)
+        emit(f"tc_rmat{SCALE}", res.info["process_ms"],
+             res.info["wedges_probed"],
+             {"triangles": res.total})
+
+
+if __name__ == "__main__":
+    main()

@@ -100,6 +100,8 @@ def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool,
                 lambda: (state.frontier, state.n),
                 lambda: frontier_from_mask(state.labels == cur, fcap),
             )
+            rebuild_ovf = n0 > fcap      # queue too small for this frontier
+            n0 = jnp.minimum(n0, fcap)
             # Sort the frontier so every gather in the expansion is
             # monotonic (inactive lanes sink to the tail as +inf).
             fr = jnp.sort(jnp.where(
@@ -121,7 +123,7 @@ def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool,
             frontier, n = compact(ex.dst, keep, fcap)
             deg_dst = graph.row_offsets[ex.dst + 1] - graph.row_offsets[ex.dst]
             m_f_next = jnp.sum(jnp.where(keep, deg_dst, 0))
-            overflow = ex.total > cap
+            overflow = (ex.total > cap) | (n > fcap) | rebuild_ovf
             return (labels, preds, frontier, n, m_f_next,
                     jnp.bool_(True), ex.total, overflow)
         return step
@@ -276,8 +278,14 @@ def bfs_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
     ``(labels, preds, stats, edges_visited)``."""
     if direction_optimized and not graph.has_csc:
         raise ValueError("direction_optimized BFS needs to_device(with_csc=True)")
-    fcap = max(128, int(graph.v_pad * min(queue_sizing, 1.0)))
-    out_cap = max(128, int(graph.e_pad * min(queue_sizing, 1.0)))
+    # DO mode never materializes large (pull) frontiers as queues, so the
+    # queue only needs capacity for push-mode frontiers (bounded by the
+    # direction vote); a small queue keeps every push-branch frontier op
+    # off the V-scale. Overflow falls back via the overflow flag.
+    base_cap = graph.v_pad // 4 if direction_optimized else graph.v_pad
+    fcap = max(128, min(int(base_cap * queue_sizing), graph.v_pad))
+    out_cap = max(128, min(int(graph.e_pad * min(queue_sizing, 1.0)),
+                           graph.e_pad))
     caps = tuple(capacity_ladder(out_cap))
     if max_iters is None:
         max_iters = graph.num_nodes + 1
@@ -318,11 +326,18 @@ def bfs(graph: Union[CsrGraph, DeviceGraph], src: Union[int, str] = 0, *,
         raise ValueError(f"src {src} out of range [0, {num_nodes})")
 
     with timer.time("process_ms"):
-        labels, preds, stats = jax.block_until_ready(
-            bfs_device(dgraph, src, mark_preds=mark_preds,
-                       direction_optimized=direction_optimized,
-                       alpha=alpha, beta=beta, queue_sizing=queue_sizing,
-                       max_iters=max_iters))
+        # Frontier-overflow auto-regrow (reference Check_Size/EnsureSize,
+        # enactor_helper.cuh:103): retry with a doubled queue sizing.
+        sizing = queue_sizing
+        while True:
+            labels, preds, stats = jax.block_until_ready(
+                bfs_device(dgraph, src, mark_preds=mark_preds,
+                           direction_optimized=direction_optimized,
+                           alpha=alpha, beta=beta, queue_sizing=sizing,
+                           max_iters=max_iters))
+            if not bool(stats.overflow) or sizing >= 4.0:
+                break
+            sizing = min(sizing * 2.0, 4.0)
 
     labels_np = np.asarray(labels)[:num_nodes]
     preds_np = np.asarray(preds)[:num_nodes] if mark_preds else None

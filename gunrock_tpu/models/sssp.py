@@ -35,7 +35,7 @@ from ..enactor import (LoopStats, capacity_ladder, dispatch_by_size,
 from ..graph.csr import CsrGraph
 from ..graph.device import DeviceGraph, to_device
 from ..ops.advance import expand
-from ..ops.segment import compact, dedup_winners, scatter_min, scatter_set
+from ..ops.segment import frontier_from_mask, scatter_min
 from ..utils.info import make_info
 
 __all__ = ["sssp", "SsspResult", "sssp_device"]
@@ -52,90 +52,92 @@ class SsspResult:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["dist", "preds", "frontier", "n", "active", "level",
+    data_fields=["dist", "frontier", "n", "m_f", "active", "level",
                  "stats"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class _State:
     dist: jax.Array       # (v_pad,) float32
-    preds: jax.Array      # (v_pad,) or (1,) int32
-    frontier: jax.Array   # (fcap,) int32
+    frontier: jax.Array   # (fcap,) int32 (sorted ascending, actives first)
     n: jax.Array          # () int32
+    m_f: jax.Array        # () int32 — frontier degree sum (next dispatch)
     active: jax.Array     # (v_pad,) bool — improved but not yet relaxed
     level: jax.Array      # () float32 — near/far split threshold
     stats: LoopStats
 
 
-def _relax(graph: DeviceGraph, state: _State, cap: int, fcap: int,
-           mark_preds: bool):
-    """One advance+filter relaxation round over the current frontier."""
-    ex = expand(graph, state.frontier, state.n, cap)
-    w = graph.edge_values[ex.eid]
-    cand = jnp.where(ex.mask, state.dist[ex.src] + w, INF)
-    dist_old = state.dist[ex.dst]
+def _relax(graph: DeviceGraph, state: _State, cap: int):
+    """One advance relaxation over the (sorted) frontier.
+
+    All expansion gathers are monotonic (sorted frontier); the one
+    irregular write is the scatter-min into distances. Improvement is
+    detected by a dense vertex-scale compare against the previous
+    distances — no dedup chains, no per-lane winner resolution (the
+    reference's atomicMin race bookkeeping disappears).
+    """
+    fcap = state.frontier.shape[0]
+    fr = jnp.where(jnp.arange(fcap, dtype=jnp.int32) < state.n,
+                   state.frontier, graph.v_pad - 1)
+    ex = expand(graph, fr, state.n, cap, sorted_frontier=True)
+    dist_f = jnp.take(state.dist, fr, indices_are_sorted=True)
+    w = jnp.take(graph.edge_values, ex.eid, indices_are_sorted=True)
+    cand = jnp.where(ex.mask, dist_f[ex.rank] + w, INF)
     dist = scatter_min(state.dist, ex.dst, cand, mask=ex.mask)
-    improved = ex.mask & (cand < dist_old)
-    # A lane's dst re-enters the frontier iff the final (post-reduction)
-    # distance changed; winner lane = the one matching the final value
-    # (deterministic pred, unlike the reference's atomicMin race).
-    final = dist[ex.dst]
-    winner = dedup_winners(ex.dst, improved & (cand == final), graph.v_pad)
-    preds = state.preds
-    if mark_preds:
-        preds = scatter_set(preds, ex.dst, ex.src, mask=winner)
-    changed = dedup_winners(ex.dst, improved, graph.v_pad)
-    return dist, preds, ex.dst, changed, ex.total, ex.total > cap
+    return dist, ex.total, ex.total > cap
 
 
-def _make_bellman_branch(graph, fcap, mark_preds):
+def _next_frontier(graph, improved, fcap):
+    frontier, n = frontier_from_mask(improved, fcap)
+    deg = graph.row_offsets[1:] - graph.row_offsets[:-1]
+    m_f = jnp.sum(jnp.where(improved, deg, 0))
+    return frontier, n, m_f
+
+
+def _make_bellman_branch(graph, fcap):
     def make(cap):
         def step(state: _State):
-            dist, preds, dsts, changed, edges, overflow = _relax(
-                graph, state, cap, fcap, mark_preds)
-            frontier, n = compact(dsts, changed, fcap)
-            return dist, preds, frontier, n, state.active, state.level, \
+            dist, edges, overflow = _relax(graph, state, cap)
+            improved = dist < state.dist
+            frontier, n, m_f = _next_frontier(graph, improved, fcap)
+            overflow = overflow | (n > fcap)
+            return dist, frontier, n, m_f, state.active, state.level, \
                 edges, overflow
         return step
     return make
 
 
-def _make_nearfar_branch(graph, fcap, mark_preds, delta):
+def _make_nearfar_branch(graph, fcap, delta):
     def make(cap):
         def step(state: _State):
-            dist, preds, dsts, changed, edges, overflow = _relax(
-                graph, state, cap, fcap, mark_preds)
-            # Mark improved vertices active (they sit in the pile until
-            # their bucket comes up).
-            active = state.active.at[
-                jnp.where(changed, dsts, graph.v_pad)
-            ].set(True, mode="drop")
-            # Near bucket: active vertices below the current threshold
+            dist, edges, overflow = _relax(graph, state, cap)
+            # Improved vertices enter the pile; the near bucket (below
+            # the current threshold) becomes the next frontier
             # (priority_queue Bisect, near_far_pile.cuh:35-60).
-            verts = jnp.arange(graph.v_pad, dtype=jnp.int32)
+            active = state.active | (dist < state.dist)
             near = active & (dist < state.level)
-            frontier, n = compact(verts, near, fcap)
-            # Drain processed vertices from the pile.
             active = active & ~near
-            # Bucket empty -> advance the threshold until work appears or
-            # the pile drains entirely.
-            def advance_level(args):
-                lvl, frontier, n, active = args
+
+            # Bucket empty -> advance the threshold until work appears
+            # or the pile drains (dense vertex-scale ops only).
+            def advance(args):
+                lvl, near, active = args
                 def body(a):
-                    lvl, f, n, act = a
+                    lvl, near, act = a
                     lvl = lvl + delta
-                    near = act & (dist < lvl)
-                    f, n = compact(verts, near, fcap)
-                    return lvl, f, n, act & ~near
+                    nr = act & (dist < lvl)
+                    return lvl, nr, act & ~nr
                 def cond(a):
-                    lvl, f, n, act = a
-                    return (n == 0) & jnp.any(act)
-                return jax.lax.while_loop(cond, body, (lvl, frontier, n,
-                                                       active))
-            level, frontier, n, active = jax.lax.cond(
-                n == 0, advance_level, lambda a: a,
-                (state.level, frontier, n, active))
-            return dist, preds, frontier, n, active, level, edges, overflow
+                    lvl, nr, act = a
+                    return (~jnp.any(nr)) & jnp.any(act)
+                return jax.lax.while_loop(cond, body, args)
+
+            level, near, active = jax.lax.cond(
+                jnp.any(near), lambda a: a, advance,
+                (state.level, near, active))
+            frontier, n, m_f = _next_frontier(graph, near, fcap)
+            overflow = overflow | (n > fcap)
+            return dist, frontier, n, m_f, active, level, edges, overflow
         return step
     return make
 
@@ -145,41 +147,55 @@ def _sssp_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array, *,
                mode: str, delta: float):
     v_pad = graph.v_pad
     dist = jnp.full((v_pad,), INF, jnp.float32).at[src].set(0.0)
-    # Padded vertices must stay +inf-distant; they do (never a dst).
-    preds = (jnp.full((v_pad,), -1, jnp.int32) if mark_preds
-             else jnp.zeros((1,), jnp.int32))
-    frontier = jnp.zeros((fcap,), jnp.int32).at[0].set(src)
+    frontier = jnp.full((fcap,), v_pad - 1, jnp.int32).at[0].set(src)
 
     if mode == "nearfar":
-        branch = _make_nearfar_branch(graph, fcap, mark_preds, delta)
+        branch = _make_nearfar_branch(graph, fcap, delta)
     else:
-        branch = _make_bellman_branch(graph, fcap, mark_preds)
+        branch = _make_bellman_branch(graph, fcap)
 
     def cond(state: _State):
         return (state.n > 0) & (state.stats.iteration < max_iters) & \
                (~state.stats.overflow)
 
     def body(state: _State):
-        lane = jnp.arange(state.frontier.shape[0], dtype=jnp.int32)
-        valid = lane < state.n
-        f = jnp.where(valid, state.frontier, 0)
-        m_f = jnp.sum(jnp.where(
-            valid, graph.row_offsets[f + 1] - graph.row_offsets[f], 0))
-        dist, preds, frontier, n, active, level, edges, overflow = \
-            dispatch_by_size(m_f, caps, branch, state)
+        dist, frontier, n, m_f, active, level, edges, overflow = \
+            dispatch_by_size(state.m_f, caps, branch, state)
         stats = record_iteration(state.stats, frontier_len=n, edges=edges,
                                  overflow=overflow)
-        return _State(dist=dist, preds=preds, frontier=frontier, n=n,
+        return _State(dist=dist, frontier=frontier, n=n, m_f=m_f,
                       active=active, level=level, stats=stats)
 
     init = _State(
-        dist=dist, preds=preds, frontier=frontier, n=jnp.int32(1),
+        dist=dist, frontier=frontier, n=jnp.int32(1),
+        m_f=(graph.row_offsets[src + 1] - graph.row_offsets[src]),
         active=jnp.zeros((v_pad,), jnp.bool_),
         level=jnp.float32(delta if mode == "nearfar" else 0.0),
         stats=init_stats(),
     )
     final = jax.lax.while_loop(cond, body, init)
-    return final.dist, final.preds, final.stats
+    preds = jnp.zeros((1,), jnp.int32)
+    if mark_preds:
+        preds = _fill_preds(graph, final.dist)
+    return final.dist, preds, final.stats
+
+
+def _fill_preds(graph: DeviceGraph, dist: jax.Array) -> jax.Array:
+    """Post-hoc shortest-path-tree parents: pred(v) = last in-neighbor u
+    (CSC order) with dist[u] + w(u,v) == dist[v]. Exact float equality
+    holds because dist[v] was produced as exactly that sum by the
+    deterministic scatter-min. One pass, outside the loop."""
+    v_pad = graph.v_pad
+    dst_of_edge = graph.csc_edge_dst.clip(0, v_pad - 1)
+    hit = (dist[graph.csc_indices] + graph.csc_edge_values ==
+           dist[dst_of_edge])
+    pos = jnp.where(hit, jnp.arange(graph.e_pad, dtype=jnp.int32), -1)
+    best = jax.lax.cummax(pos)
+    bpos0 = jnp.concatenate([jnp.full((1,), -1, jnp.int32), best])
+    last = jnp.take(bpos0, graph.csc_offsets[1:], indices_are_sorted=True)
+    start = graph.csc_offsets[:-1]
+    ok = jnp.isfinite(dist[:v_pad]) & (dist[:v_pad] > 0) & (last >= start)
+    return jnp.where(ok, graph.csc_indices[jnp.maximum(last, 0)], -1)
 
 
 _sssp_jit = jax.jit(
@@ -221,7 +237,8 @@ def sssp(graph: Union[CsrGraph, DeviceGraph], src: Union[int, str] = 0, *,
         if graph.num_edges:
             delta = delta_factor * float(np.mean(graph.edge_values))
         with timer.time("preprocess_ms"):
-            dgraph = to_device(graph, with_edge_values=True)
+            dgraph = to_device(graph, with_edge_values=True,
+                               with_csc=mark_preds)
     else:
         dgraph = graph
     src = int(src)

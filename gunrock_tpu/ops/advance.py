@@ -68,7 +68,10 @@ def _expand_csr(row_offsets: jax.Array, col_indices: jax.Array,
     cin = frontier.shape[0]
     lane_in = jnp.arange(cin, dtype=jnp.int32)
     valid = lane_in < n
-    f = jnp.where(valid, frontier, 0)
+    # Inactive lanes pin to the LAST vertex in sorted mode so the gather
+    # stream stays monotonic (callers guarantee active lanes ascending).
+    fill_v = row_offsets.shape[0] - 2 if sorted_frontier else 0
+    f = jnp.where(valid, frontier, fill_v)
     start = jnp.take(row_offsets, f, indices_are_sorted=sorted_frontier)
     deg = jnp.where(
         valid,

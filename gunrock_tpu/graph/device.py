@@ -147,7 +147,7 @@ def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int):
     vertex-scale boundary gathers.
     """
     R_base = _bitmask_rows(v_pad)
-    K = 8
+    K = 16
     rpg = max(-(-R_base // K), 8)
     rpg = ((rpg + 7) // 8) * 8
     R = rpg * K          # effective (padded) bitmask rows; extra rows zero

@@ -109,7 +109,9 @@ def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool,
                 jnp.int32(0x7FFFFFF0)))
             fr = jnp.minimum(fr, graph.v_pad - 1)
             ex = expand(graph, fr, n0, cap, sorted_frontier=True)
-            if use_pallas:
+            if use_pallas and cap >= (1 << 21):
+                # kernel pays off only at large caps; small rungs use the
+                # plain gather (cheaper than packing the bitmask)
                 from ..ops.pallas_kernels import bitmask_gather, pack_bitmask
                 unvisited = pack_bitmask(state.labels == INVALID)
                 is_new = ex.mask & (bitmask_gather(unvisited, ex.dst) > 0)

@@ -83,3 +83,14 @@ def test_convert_info(capsys, chesapeake, tmp_path):
 def test_info_has_gitsha(rmat_small):
     r = gt.bfs(rmat_small, 0)
     assert len(r.info["git_commit_sha1"]) >= 7
+
+
+def test_modularity(chesapeake):
+    from gunrock_tpu.utils.modularity import modularity
+    comp = gt.cc(chesapeake).components
+    q1 = modularity(chesapeake, comp)          # one community: Q ~ 0
+    assert abs(q1) < 1e-6
+    # a random 2-split should have Q <= 0-ish; a degree-sorted split too
+    rng = np.random.default_rng(0)
+    rand = rng.integers(0, 2, chesapeake.num_nodes)
+    assert modularity(chesapeake, rand) < 0.05

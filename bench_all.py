@@ -90,7 +90,7 @@ def main():
 
     if want("pr"):
         from gunrock_tpu.models.pr import pagerank_device
-        dgc = gt.to_device(g, with_csc=True)
+        dgc = gt.to_device(g, with_csc=True, with_blocked_values=True)
         out = jax.block_until_ready(pagerank_device(dgc, max_iters=20,
                                                     threshold=0.0))
         iters = int(out[2].iteration)

@@ -44,7 +44,8 @@ def round_up(x: int, m: int = LANE) -> int:
         "row_offsets", "col_indices", "edge_values", "edge_src",
         "csc_offsets", "csc_indices", "csc_edge_values", "csc_edge_dst",
         "bcsc_src", "bcsc_dst", "bcsc_group_of_block", "bcsc_sample_pos",
-        "bcsc_sample_valid",
+        "bcsc_sample_valid", "bcsc_val", "bcsc_vsample_pos",
+        "bcsc_vsample_valid",
     ],
     meta_fields=["num_nodes", "num_edges", "v_pad", "e_pad",
                  "bcsc_groups", "bcsc_rows_per_group", "bcsc_block_rows"],
@@ -87,9 +88,18 @@ class DeviceGraph:
     bcsc_group_of_block: Optional[jax.Array] = None  # (E'/(br*128),) int32
     bcsc_sample_pos: Optional[jax.Array] = None     # (K, v_pad//32) int32
     bcsc_sample_valid: Optional[jax.Array] = None   # (K, v_pad//32) bool
+    # Value-kernel extensions: weights in blocked order, per-(group,
+    # vertex) sample positions for segmented value reductions.
+    bcsc_val: Optional[jax.Array] = None            # (E',) float32
+    bcsc_vsample_pos: Optional[jax.Array] = None    # (K*v_pad,) int32 sorted
+    bcsc_vsample_valid: Optional[jax.Array] = None  # (K*v_pad,) bool
     bcsc_groups: int = 0                            # K (0 = not built)
     bcsc_rows_per_group: int = 0                    # bitmask rows per group
     bcsc_block_rows: int = 0                        # kernel block height
+
+    @property
+    def has_blocked_values(self) -> bool:
+        return self.bcsc_vsample_pos is not None
 
     @property
     def has_csc(self) -> bool:
@@ -136,7 +146,8 @@ def _bitmask_rows(v_pad: int) -> int:
     return ((rows + 7) // 8) * 8
 
 
-def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int):
+def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int,
+                      with_vertex_samples: bool = False):
     """Blocked-CSC edge layout for the pull kernel.
 
     Edges grouped by source block (K groups), sorted by (dst, src) per
@@ -173,6 +184,14 @@ def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int):
     bdst = np.empty(total, np.int32)
     sample_pos = np.zeros((K, nwords), np.int32)
     sample_valid = np.zeros((K, nwords), bool)
+    bval = None
+    vs = None
+    if g.edge_values is not None:
+        bval = np.zeros(total, np.float32)
+        ev = g.edge_values.astype(np.float32)[order]
+    if with_vertex_samples:
+        vpos = np.zeros((K, v_pad), np.int32)
+        vvalid = np.zeros((K, v_pad), bool)
     pad_wid = nwords - 1
     read = 0
     for k in range(K):
@@ -183,19 +202,36 @@ def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int):
         # out-of-group source => gather always misses => hit 0
         bsrc[lo + c:starts[k + 1]] = v_pad - 1 if k == 0 else 0
         bdst[lo + c:starts[k + 1]] = pad_wid * 32 + 31
+        if bval is not None:
+            bval[lo:lo + c] = ev[read:read + c]
         if c:
             wids = (ds[read:read + c] >> 5).astype(np.int64)
             # last edge position of each distinct word in this group
             last = np.nonzero(np.r_[wids[1:] != wids[:-1], True])[0]
             sample_pos[k, wids[last]] = (lo + last).astype(np.int32)
             sample_valid[k, wids[last]] = True
+            if with_vertex_samples:
+                dk = ds[read:read + c]
+                vlast = np.nonzero(np.r_[dk[1:] != dk[:-1], True])[0]
+                keep = dk[vlast] < v_pad
+                vpos[k, dk[vlast[keep]]] = (lo + vlast[keep]).astype(np.int32)
+                vvalid[k, dk[vlast[keep]]] = True
         read += c
+
+    if with_vertex_samples:
+        # Sorted fill for invalid entries: carry the previous valid
+        # position forward so the flat position vector is nondecreasing.
+        flatp = vpos.reshape(-1)
+        flatv = vvalid.reshape(-1)
+        idx = np.where(flatv, np.arange(flatp.size), 0)
+        np.maximum.accumulate(idx, out=idx)
+        vs = (flatp[idx].astype(np.int32), flatv)
 
     num_blocks = total // block_edges
     group_of_block = np.repeat(np.arange(K, dtype=np.int32),
                                (padded // block_edges).astype(np.int64))
     assert group_of_block.shape[0] == num_blocks
-    return dict(
+    out = dict(
         bcsc_src=jnp.asarray(bsrc),
         bcsc_dst=jnp.asarray(bdst),
         bcsc_group_of_block=jnp.asarray(group_of_block),
@@ -205,6 +241,12 @@ def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int):
         bcsc_rows_per_group=rpg,
         bcsc_block_rows=block_rows,
     )
+    if bval is not None:
+        out["bcsc_val"] = jnp.asarray(bval)
+    if vs is not None:
+        out["bcsc_vsample_pos"] = jnp.asarray(vs[0])
+        out["bcsc_vsample_valid"] = jnp.asarray(vs[1])
+    return out
 
 
 def to_device(
@@ -214,6 +256,7 @@ def to_device(
     with_edge_values: bool = False,
     with_edge_src: bool = False,
     with_blocked_csc: bool = False,
+    with_blocked_values: bool = False,
     blocked_block_rows: Optional[int] = None,
 ) -> DeviceGraph:
     """Upload a host CSR to the device with tile-aligned padding.
@@ -251,9 +294,10 @@ def to_device(
         csc_dst = jnp.asarray(_edge_seg_ids(t.row_offsets, t.num_nodes, e_pad, v_pad))
 
     blocked = {}
-    if with_blocked_csc:
+    if with_blocked_csc or with_blocked_values:
         br = blocked_block_rows or (512 if e_pad >= (1 << 22) else 8)
-        built = build_blocked_csc(g, v_pad, br)
+        built = build_blocked_csc(g, v_pad, br,
+                                  with_vertex_samples=with_blocked_values)
         if built is not None:
             blocked = built
 

@@ -56,7 +56,7 @@ class _State:
 
 def _pr_loop(graph: DeviceGraph, max_iters: jax.Array,
              threshold: jax.Array, *, damping: float, normalized: bool,
-             compensate: bool):
+             compensate: bool, pallas: bool = False):
     v_pad = graph.v_pad
     n = graph.num_nodes
     vmask = jnp.arange(v_pad, dtype=jnp.int32) < n
@@ -71,10 +71,18 @@ def _pr_loop(graph: DeviceGraph, max_iters: jax.Array,
 
     def body(state: _State):
         contrib = state.rank * inv_deg
-        edge_vals = contrib[graph.csc_indices]
-        # Padded CSC slots lie beyond every row end, so the scan-based
-        # reduction drops them without masking.
-        incoming = row_reduce_sorted(edge_vals, graph.csc_offsets, op="sum")
+        if pallas and graph.has_blocked_values:
+            # Blocked value kernel: grouped VMEM gather + fused segmented
+            # sum + static vertex sampling (see ops/pallas_kernels).
+            from ..ops.pallas_kernels import pull_vertex_reduce
+            incoming = pull_vertex_reduce(contrib, graph, op="sum",
+                                          wmode="none")
+        else:
+            edge_vals = contrib[graph.csc_indices]
+            # Padded CSC slots lie beyond every row end, so the scan-based
+            # reduction drops them without masking.
+            incoming = row_reduce_sorted(edge_vals, graph.csc_offsets,
+                                         op="sum")
         new_rank = reset + damping * incoming
         if normalized and compensate:
             # Redistribute dangling-vertex mass uniformly.
@@ -98,18 +106,22 @@ def _pr_loop(graph: DeviceGraph, max_iters: jax.Array,
 
 _pr_jit = jax.jit(
     _pr_loop,
-    static_argnames=("damping", "normalized", "compensate"),
+    static_argnames=("damping", "normalized", "compensate", "pallas"),
 )
 
 
 def pagerank_device(graph: DeviceGraph, *, damping: float = 0.85,
                     threshold: float = 1e-6, max_iters: int = 50,
-                    normalized: bool = True, compensate: bool = False):
-    if not graph.has_csc:
+                    normalized: bool = True, compensate: bool = False,
+                    pallas: bool = None):
+    if not graph.has_csc and not graph.has_blocked_values:
         raise ValueError("PageRank needs to_device(with_csc=True)")
+    if pallas is None:
+        pallas = (jax.default_backend() == "tpu" and
+                  graph.has_blocked_values)
     return _pr_jit(graph, jnp.int32(max_iters), jnp.float32(threshold),
                    damping=float(damping), normalized=normalized,
-                   compensate=compensate)
+                   compensate=compensate, pallas=pallas)
 
 
 def pagerank(graph: Union[CsrGraph, DeviceGraph], *, damping: float = 0.85,

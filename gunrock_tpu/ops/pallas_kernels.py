@@ -30,7 +30,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["bitmask_gather", "bitmask_gather_cumsum", "blocked_pull_or",
-           "pack_bitmask", "words_for", "sample_sorted"]
+           "pack_bitmask", "words_for", "sample_sorted",
+           "pull_vertex_reduce", "pad_values_table"]
 
 LANE = 128
 DEFAULT_BLOCK_ROWS = 512          # 64K indices per grid step
@@ -283,6 +284,173 @@ def bitmask_gather_reference(words: np.ndarray, idx: np.ndarray) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# Blocked VALUE pull-reduce: per-vertex sum/min of f(value[src], w) over
+# in-edges. Same layout as blocked_pull_or, but the VMEM table holds f32
+# per-vertex values (one group slice at a time) and the fused scan is a
+# segmented sum/min keyed by the destination id. Results are read at the
+# static per-(group, vertex) sample positions via sample_sorted.
+# --------------------------------------------------------------------------
+
+
+def pad_values_table(vals: jax.Array, groups: int,
+                     rows_per_group_bits: int, fill) -> jax.Array:
+    """(v_pad,) f32 -> (K*rpg_v, 128) table aligned with the blocked-CSC
+    vertex grouping (rpg_v = 32 * bitmask rows per group)."""
+    rpg_v = rows_per_group_bits * 32
+    rows = groups * rpg_v
+    n = rows * LANE
+    pad = n - vals.shape[0]
+    v = jnp.concatenate([vals, jnp.full((pad,), fill, vals.dtype)]) \
+        if pad else vals
+    return v.reshape(rows, LANE)
+
+
+def _seg_scan_val(vals: jax.Array, key: jax.Array, op: str) -> jax.Array:
+    """Row-major inclusive segmented sum/min over a (B,128) block."""
+    b = vals.shape[0]
+    combine = (lambda a, c: a + c) if op == "sum" else jnp.minimum
+    zero = jnp.zeros_like(vals) if op == "sum" else \
+        jnp.full_like(vals, jnp.inf)
+    lanepos = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+    y = vals
+    s = 1
+    while s < LANE:
+        ok = (lanepos >= s) & (key == pltpu.roll(key, s, 1))
+        y = combine(y, jnp.where(ok, pltpu.roll(y, s, 1), zero))
+        s *= 2
+    L = jnp.broadcast_to(y[:, LANE - 1:LANE], vals.shape)
+    LK = jnp.broadcast_to(key[:, LANE - 1:LANE], vals.shape)
+    rowpos = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0)
+    s = 1
+    while s < b:
+        ok = (rowpos >= s) & (LK == pltpu.roll(LK, s, 0))
+        L = combine(L, jnp.where(ok, pltpu.roll(L, s, 0), zero))
+        s *= 2
+    inc = jnp.where(rowpos >= 1, pltpu.roll(L, 1, 0),
+                    zero)
+    prev_k = jnp.where(rowpos >= 1, pltpu.roll(LK, 1, 0), -1)
+    return combine(y, jnp.where(key == prev_k, inc, zero))
+
+
+def _blocked_value_kernel(rpg_v: int, op: str, wmode: str, g_ref, t_ref,
+                          src_ref, dst_ref, w_ref, o_ref, cval_ref,
+                          ckey_ref):
+    k = pl.program_id(0)
+    identity = jnp.float32(0.0 if op == "sum" else jnp.inf)
+
+    @pl.when(k == 0)
+    def _():
+        cval_ref[0, 0] = identity
+        ckey_ref[0, 0] = -1
+
+    g = g_ref[k]
+    src = src_ref[...]
+    dst = dst_ref[...]
+    shape = src.shape
+
+    vrow_l = jax.lax.shift_right_logical(src, 7) - g * rpg_v
+    vlane = src & (LANE - 1)
+
+    def body(gg, acc):
+        for u in range(8):
+            r = gg * 8 + u
+            rowv = jnp.broadcast_to(t_ref[pl.ds(r, 1), :], shape)
+            rowc = jnp.take_along_axis(rowv, vlane, axis=1)
+            acc = jnp.where(vrow_l == r, rowc, acc)
+        return acc
+
+    val = jax.lax.fori_loop(0, rpg_v // 8, body,
+                            jnp.full(shape, identity, jnp.float32))
+    if wmode == "add":
+        val = val + w_ref[...]
+    elif wmode == "mul":
+        val = val * w_ref[...]
+
+    if op == "min":
+        # splice carry into the leading segment (idempotent for min)
+        val = jnp.where(dst == ckey_ref[0, 0],
+                        jnp.minimum(val, cval_ref[0, 0]), val)
+    else:
+        # sum: add the carry exactly once, at the first element
+        rowpos = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lanepos = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        first = (rowpos == 0) & (lanepos == 0) & (dst == ckey_ref[0, 0])
+        val = jnp.where(first, val + cval_ref[0, 0], val)
+
+    scan = _seg_scan_val(val, dst, op)
+    o_ref[...] = scan
+    cval_ref[0, 0] = scan[shape[0] - 1, LANE - 1]
+    ckey_ref[0, 0] = dst[shape[0] - 1, LANE - 1]
+
+
+@functools.partial(jax.jit, static_argnames=("rpg_v", "op", "wmode",
+                                             "block_rows", "interpret"))
+def _blocked_value_2d(table, src2d, dst2d, w2d, group_of_block, *,
+                      rpg_v: int, op: str, wmode: str, block_rows: int,
+                      interpret: bool):
+    m = src2d.shape[0]
+    kernel = functools.partial(_blocked_value_kernel, rpg_v, op, wmode)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m // block_rows,),
+        in_specs=[
+            pl.BlockSpec((rpg_v, LANE), lambda k, gref: (gref[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANE), lambda k, gref: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANE), lambda k, gref: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANE), lambda k, gref: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, LANE), lambda k, gref: (k, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32),
+                        pltpu.SMEM((1, 1), jnp.int32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, LANE), jnp.float32),
+        interpret=interpret,
+    )(group_of_block, table, src2d, dst2d, w2d)
+
+
+def pull_vertex_reduce(values: jax.Array, graph, *, op: str = "sum",
+                       wmode: str = "none",
+                       interpret: bool = False) -> jax.Array:
+    """(v_pad,) per-vertex reduce over in-edges: out[v] = op over
+    in-edges (u,v) of f(values[u], w), with f per ``wmode``
+    ("none" / "add" / "mul"). Uses the blocked-CSC layout + static
+    vertex sampling; identity for vertices with no in-edges.
+    """
+    assert graph.has_blocked_values, \
+        "needs to_device(with_blocked_values=True)"
+    K = graph.bcsc_groups
+    rpg_v = graph.bcsc_rows_per_group * 32
+    fill = 0.0 if op == "sum" else jnp.inf
+    table = pad_values_table(values, K, graph.bcsc_rows_per_group, fill)
+    src2d = graph.bcsc_src.reshape(-1, LANE)
+    dst2d = graph.bcsc_dst.reshape(-1, LANE)
+    if wmode == "none":
+        w2d = jnp.zeros_like(src2d, dtype=jnp.float32)
+    else:
+        w2d = graph.bcsc_val.reshape(-1, LANE)
+    scan = _blocked_value_2d(table, src2d, dst2d, w2d,
+                             graph.bcsc_group_of_block, rpg_v=rpg_v, op=op,
+                             wmode=wmode, block_rows=graph.bcsc_block_rows,
+                             interpret=interpret).reshape(-1)
+    samples = sample_sorted(scan, graph.bcsc_vsample_pos,
+                            interpret=interpret)
+    ident = jnp.float32(fill)
+    per_kv = jnp.where(graph.bcsc_vsample_valid, samples, ident)
+    per_kv = per_kv.reshape(K, -1)
+    if op == "sum":
+        return jnp.sum(per_kv, axis=0)
+    return jnp.min(per_kv, axis=0)
+
+
+# --------------------------------------------------------------------------
 # sample_sorted: gather arr[pos] for a SORTED static position vector, with
 # arr living in HBM (too big for VMEM). XLA's gather runs ~50ns/elem even
 # sorted; here each sample tile streams its position window through a
@@ -350,7 +518,10 @@ def sample_sorted(arr: jax.Array, pos: jax.Array, *,
     stays in HBM. ``arr`` length must be a multiple of 8192 (the blocked
     layouts guarantee it); ``pos`` is padded internally."""
     e = arr.shape[0]
-    assert e % (_CHUNK_ROWS * LANE) == 0, "pad arr to a chunk multiple"
+    chunk = _CHUNK_ROWS * LANE
+    if e % chunk:
+        arr = jnp.concatenate(
+            [arr, jnp.zeros((chunk - e % chunk,), arr.dtype)])
     s = pos.shape[0]
     tile = _SAMPLE_TILE_ROWS * LANE
     s_pad = -(-s // tile) * tile

@@ -76,15 +76,16 @@ def main():
     if want("sssp"):
         from gunrock_tpu.models.sssp import sssp_device
         g.random_edge_values(seed=7)
-        dgw = gt.to_device(g, with_edge_values=True)
+        dgw = gt.to_device(g, with_edge_values=True,
+                           with_blocked_values=True)
         delta = 32.0 * float(np.mean(g.edge_values))
         out = jax.block_until_ready(
-            sssp_device(dgw, src, mode="nearfar", delta=delta))
+            sssp_device(dgw, src, mode="bellman", delta=delta))
         reached = np.isfinite(np.asarray(out[0])[: g.num_nodes])
         ev = int(degs[reached].sum())
-        ms = best_ms(lambda: sssp_device(dgw, src, mode="nearfar",
+        ms = best_ms(lambda: sssp_device(dgw, src, mode="bellman",
                                          delta=delta))
-        emit(f"sssp_nf_rmat{SCALE}", ms, ev,
+        emit(f"sssp_rmat{SCALE}", ms, ev,
              {"iters": int(out[2].iteration)})
         del dgw
 
@@ -109,7 +110,8 @@ def main():
 
     if want("cc"):
         from gunrock_tpu.models.cc import cc_device
-        dge = gt.to_device(g, with_edge_src=True)
+        dge = gt.to_device(g, with_edge_src=True,
+                           with_blocked_values=True)
         out = jax.block_until_ready(cc_device(dge))
         ms = best_ms(lambda: cc_device(dge))
         emit(f"cc_rmat{SCALE}", ms, E, {"iters": int(out[2].iteration)})

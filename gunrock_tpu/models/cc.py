@@ -52,12 +52,14 @@ class _State:
     stats: LoopStats
 
 
-def _cc_loop(graph: DeviceGraph):
+def _cc_loop(graph: DeviceGraph, pallas: bool = False):
     v_pad = graph.v_pad
-    lane = jnp.arange(graph.e_pad, dtype=jnp.int32)
-    emask = lane < graph.num_edges
-    src = graph.edge_src   # (e_pad,) fill v_pad for padding
-    dst = graph.col_indices
+    use_pallas = pallas and graph.has_blocked_values and v_pad < (1 << 24)
+    if not use_pallas:
+        lane = jnp.arange(graph.e_pad, dtype=jnp.int32)
+        emask = lane < graph.num_edges
+        src = graph.edge_src   # (e_pad,) fill v_pad for padding
+        dst = graph.col_indices
 
     comp0 = jnp.arange(v_pad, dtype=jnp.int32)
 
@@ -66,14 +68,30 @@ def _cc_loop(graph: DeviceGraph):
 
     def body(state: _State):
         comp = state.comp
-        cu = comp[jnp.where(emask, src, 0)]
-        cv = comp[jnp.where(emask, dst, 0)]
-        differs = emask & (cu != cv)
-        hi = jnp.maximum(cu, cv)
-        lo = jnp.minimum(cu, cv)
-        # HookMin (cc_functor.cuh:235): attach the larger root under the
-        # smaller; scatter-min resolves write conflicts deterministically.
-        comp = comp.at[jnp.where(differs, hi, v_pad)].min(lo, mode="drop")
+        if use_pallas:
+            # Min-hooking as a blocked pull over in-edges: component ids
+            # < 2^24 are exact in f32, so the value kernel applies.
+            from ..ops.pallas_kernels import pull_vertex_reduce
+            m = pull_vertex_reduce(comp.astype(jnp.float32), graph,
+                                   op="min", wmode="none")
+            m = jnp.where(jnp.isfinite(m), m, jnp.float32(v_pad))
+            hooked = jnp.minimum(comp, m.astype(jnp.int32))
+            differs_count = jnp.sum((hooked != comp).astype(jnp.int32))
+            comp = hooked
+            changed = differs_count > 0
+        else:
+            cu = comp[jnp.where(emask, src, 0)]
+            cv = comp[jnp.where(emask, dst, 0)]
+            differs = emask & (cu != cv)
+            hi = jnp.maximum(cu, cv)
+            lo = jnp.minimum(cu, cv)
+            # HookMin (cc_functor.cuh:235): attach the larger root under
+            # the smaller; scatter-min resolves conflicts
+            # deterministically.
+            comp = comp.at[jnp.where(differs, hi, v_pad)].min(
+                lo, mode="drop")
+            differs_count = jnp.sum(differs.astype(jnp.int32))
+            changed = jnp.any(differs)
 
         # PtrJump (cc_functor.cuh:503): full pointer doubling to fixpoint.
         def jump_cond(c):
@@ -83,9 +101,8 @@ def _cc_loop(graph: DeviceGraph):
             return c[c]
 
         comp = jax.lax.while_loop(jump_cond, jump_body, comp)
-        changed = jnp.any(differs)
         stats = record_iteration(
-            state.stats, frontier_len=jnp.sum(differs.astype(jnp.int32)),
+            state.stats, frontier_len=differs_count,
             edges=jnp.int32(min(graph.num_edges, 2**31 - 1)))
         return _State(comp=comp, changed=changed, stats=stats)
 
@@ -98,13 +115,15 @@ def _cc_loop(graph: DeviceGraph):
     return final.comp, num_components, final.stats
 
 
-_cc_jit = jax.jit(_cc_loop)
+_cc_jit = jax.jit(_cc_loop, static_argnames=("pallas",))
 
 
 def cc_device(graph: DeviceGraph):
-    if graph.edge_src is None:
+    use_pallas = (jax.default_backend() == "tpu" and
+                  graph.has_blocked_values)
+    if graph.edge_src is None and not use_pallas:
         raise ValueError("CC needs to_device(with_edge_src=True)")
-    return _cc_jit(graph)
+    return _cc_jit(graph, pallas=use_pallas)
 
 
 def cc(graph: Union[CsrGraph, DeviceGraph]) -> CcResult:

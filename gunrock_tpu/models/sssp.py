@@ -52,14 +52,14 @@ class SsspResult:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["dist", "frontier", "n", "m_f", "active", "level",
+    data_fields=["dist", "fmask", "n", "m_f", "active", "level",
                  "stats"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class _State:
     dist: jax.Array       # (v_pad,) float32
-    frontier: jax.Array   # (fcap,) int32 (sorted ascending, actives first)
+    fmask: jax.Array      # (v_pad,) bool — current frontier as a mask
     n: jax.Array          # () int32
     m_f: jax.Array        # () int32 — frontier degree sum (next dispatch)
     active: jax.Array     # (v_pad,) bool — improved but not yet relaxed
@@ -67,50 +67,72 @@ class _State:
     stats: LoopStats
 
 
-def _relax(graph: DeviceGraph, state: _State, cap: int):
-    """One advance relaxation over the (sorted) frontier.
+def _relax(graph: DeviceGraph, state: _State, cap: int, fcap: int):
+    """One push advance relaxation over the frontier mask.
 
-    All expansion gathers are monotonic (sorted frontier); the one
-    irregular write is the scatter-min into distances. Improvement is
-    detected by a dense vertex-scale compare against the previous
-    distances — no dedup chains, no per-lane winner resolution (the
-    reference's atomicMin race bookkeeping disappears).
+    The queue materializes from the mask (sorted by construction), so
+    every expansion gather is monotonic; the one irregular write is the
+    scatter-min into distances. Improvement is detected by a dense
+    vertex-scale compare — no dedup chains, no per-lane winner
+    resolution (the reference's atomicMin race bookkeeping disappears).
     """
-    fcap = state.frontier.shape[0]
-    fr = jnp.where(jnp.arange(fcap, dtype=jnp.int32) < state.n,
-                   state.frontier, graph.v_pad - 1)
-    ex = expand(graph, fr, state.n, cap, sorted_frontier=True)
+    frontier, n0 = frontier_from_mask(state.fmask, fcap)
+    ovf = n0 > fcap
+    n0 = jnp.minimum(n0, fcap)
+    fr = jnp.where(jnp.arange(fcap, dtype=jnp.int32) < n0,
+                   frontier, graph.v_pad - 1)
+    ex = expand(graph, fr, n0, cap, sorted_frontier=True)
     dist_f = jnp.take(state.dist, fr, indices_are_sorted=True)
     w = jnp.take(graph.edge_values, ex.eid, indices_are_sorted=True)
     cand = jnp.where(ex.mask, dist_f[ex.rank] + w, INF)
     dist = scatter_min(state.dist, ex.dst, cand, mask=ex.mask)
-    return dist, ex.total, ex.total > cap
+    return dist, ex.total, (ex.total > cap) | ovf
 
 
-def _next_frontier(graph, improved, fcap):
-    frontier, n = frontier_from_mask(improved, fcap)
+def _pull_relax(graph: DeviceGraph, state: _State):
+    """Full-edge pull relaxation through the blocked value kernel:
+    cand[v] = min over in-edges of (dist[u] + w) with non-frontier
+    sources masked to +inf in the VMEM table. Used when the frontier's
+    edge volume makes a full pass cheaper than push scatters."""
+    from ..ops.pallas_kernels import pull_vertex_reduce
+    table = jnp.where(state.fmask, state.dist, INF)
+    cand = pull_vertex_reduce(table, graph, op="min", wmode="add")
+    dist = jnp.minimum(state.dist, cand)
+    edges = jnp.int32(min(graph.num_edges, 2**31 - 1))
+    return dist, edges, jnp.bool_(False)
+
+
+def _mask_stats(graph, mask):
+    n = jnp.sum(mask.astype(jnp.int32))
     deg = graph.row_offsets[1:] - graph.row_offsets[:-1]
-    m_f = jnp.sum(jnp.where(improved, deg, 0))
-    return frontier, n, m_f
+    m_f = jnp.sum(jnp.where(mask, deg, 0))
+    return n, m_f
 
 
-def _make_bellman_branch(graph, fcap):
+def _make_bellman_branch(graph, fcap, use_pallas):
+    def relax_dispatch(state, cap):
+        if use_pallas and cap is None:
+            return _pull_relax(graph, state)
+        return _relax(graph, state, cap, fcap)
+
     def make(cap):
         def step(state: _State):
-            dist, edges, overflow = _relax(graph, state, cap)
+            dist, edges, overflow = relax_dispatch(state, cap)
             improved = dist < state.dist
-            frontier, n, m_f = _next_frontier(graph, improved, fcap)
-            overflow = overflow | (n > fcap)
-            return dist, frontier, n, m_f, state.active, state.level, \
+            n, m_f = _mask_stats(graph, improved)
+            return dist, improved, n, m_f, state.active, state.level, \
                 edges, overflow
         return step
     return make
 
 
-def _make_nearfar_branch(graph, fcap, delta):
+def _make_nearfar_branch(graph, fcap, delta, use_pallas):
     def make(cap):
         def step(state: _State):
-            dist, edges, overflow = _relax(graph, state, cap)
+            if use_pallas and cap is None:
+                dist, edges, overflow = _pull_relax(graph, state)
+            else:
+                dist, edges, overflow = _relax(graph, state, cap, fcap)
             # Improved vertices enter the pile; the near bucket (below
             # the current threshold) becomes the next frontier
             # (priority_queue Bisect, near_far_pile.cuh:35-60).
@@ -135,49 +157,65 @@ def _make_nearfar_branch(graph, fcap, delta):
             level, near, active = jax.lax.cond(
                 jnp.any(near), lambda a: a, advance,
                 (state.level, near, active))
-            frontier, n, m_f = _next_frontier(graph, near, fcap)
-            overflow = overflow | (n > fcap)
-            return dist, frontier, n, m_f, active, level, edges, overflow
+            n, m_f = _mask_stats(graph, near)
+            return dist, near, n, m_f, active, level, edges, overflow
         return step
     return make
 
 
-def _sssp_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array, *,
-               fcap: int, caps: tuple[int, ...], mark_preds: bool,
-               mode: str, delta: float):
-    v_pad = graph.v_pad
-    dist = jnp.full((v_pad,), INF, jnp.float32).at[src].set(0.0)
-    frontier = jnp.full((fcap,), v_pad - 1, jnp.int32).at[0].set(src)
+def _sssp_loop(graph: DeviceGraph, state: _State, upto: jax.Array, *,
+               fcap: int, caps: tuple[int, ...], mode: str, delta: float,
+               pallas: bool = False):
+    """Run relaxation rounds until convergence or ``upto`` iterations.
+
+    Bounded so the host can enact in chunks (one compiled while_loop per
+    chunk) — long traversals otherwise exceed device-execution limits,
+    and this mirrors the reference's enactor driving rounds from the
+    host."""
+    use_pallas = pallas and graph.has_blocked_values
 
     if mode == "nearfar":
-        branch = _make_nearfar_branch(graph, fcap, delta)
+        branch = _make_nearfar_branch(graph, fcap, delta, use_pallas)
     else:
-        branch = _make_bellman_branch(graph, fcap)
+        branch = _make_bellman_branch(graph, fcap, use_pallas)
 
     def cond(state: _State):
-        return (state.n > 0) & (state.stats.iteration < max_iters) & \
+        return (state.n > 0) & (state.stats.iteration < upto) & \
                (~state.stats.overflow)
 
     def body(state: _State):
-        dist, frontier, n, m_f, active, level, edges, overflow = \
-            dispatch_by_size(state.m_f, caps, branch, state)
+        if use_pallas:
+            # Direction dispatch (reference DO vote analogue): a full
+            # pull pass costs ~fixed; push costs ~m_f irregular ops.
+            big = state.m_f > jnp.int32(
+                max(1, min(graph.num_edges // 32, 2**30)))
+            out = jax.lax.cond(
+                big, branch(None),
+                lambda st: dispatch_by_size(st.m_f, caps, branch, st),
+                state)
+        else:
+            out = dispatch_by_size(state.m_f, caps, branch, state)
+        dist, fmask, n, m_f, active, level, edges, overflow = out
         stats = record_iteration(state.stats, frontier_len=n, edges=edges,
                                  overflow=overflow)
-        return _State(dist=dist, frontier=frontier, n=n, m_f=m_f,
+        return _State(dist=dist, fmask=fmask, n=n, m_f=m_f,
                       active=active, level=level, stats=stats)
 
-    init = _State(
-        dist=dist, frontier=frontier, n=jnp.int32(1),
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _sssp_init(graph: DeviceGraph, src: jax.Array, mode: str,
+               delta: float) -> _State:
+    v_pad = graph.v_pad
+    return _State(
+        dist=jnp.full((v_pad,), INF, jnp.float32).at[src].set(0.0),
+        fmask=(jnp.arange(v_pad, dtype=jnp.int32) == src),
+        n=jnp.int32(1),
         m_f=(graph.row_offsets[src + 1] - graph.row_offsets[src]),
         active=jnp.zeros((v_pad,), jnp.bool_),
         level=jnp.float32(delta if mode == "nearfar" else 0.0),
         stats=init_stats(),
     )
-    final = jax.lax.while_loop(cond, body, init)
-    preds = jnp.zeros((1,), jnp.int32)
-    if mark_preds:
-        preds = _fill_preds(graph, final.dist)
-    return final.dist, preds, final.stats
 
 
 def _fill_preds(graph: DeviceGraph, dist: jax.Array) -> jax.Array:
@@ -200,24 +238,44 @@ def _fill_preds(graph: DeviceGraph, dist: jax.Array) -> jax.Array:
 
 _sssp_jit = jax.jit(
     _sssp_loop,
-    static_argnames=("fcap", "caps", "mark_preds", "mode", "delta"),
+    static_argnames=("fcap", "caps", "mode", "delta", "pallas"),
 )
+_fill_preds_jit = None  # jitted lazily below
 
 
 def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
                 mode: str = "bellman", delta: float = 1.0,
                 queue_sizing: float = 1.0,
-                max_iters: Optional[int] = None):
+                max_iters: Optional[int] = None,
+                chunk_iters: Optional[int] = None):
     if not graph.has_edge_values:
         raise ValueError("SSSP needs to_device(with_edge_values=True)")
     fcap = max(128, int(graph.v_pad * min(queue_sizing, 1.0)))
     out_cap = max(128, int(graph.e_pad * min(queue_sizing, 1.0)))
-    caps = tuple(capacity_ladder(out_cap))
+    caps = tuple(capacity_ladder(out_cap, step=4))
     if max_iters is None:
         max_iters = 4 * graph.num_nodes + 16
-    return _sssp_jit(graph, jnp.int32(src), jnp.int32(max_iters),
-                     fcap=fcap, caps=caps, mark_preds=mark_preds,
-                     mode=mode, delta=float(delta))
+    use_pallas = (jax.default_backend() == "tpu" and
+                  graph.has_blocked_values)
+    if chunk_iters is None:
+        # Bound each device call well under execution watchdogs: big
+        # graphs relax at most a few full-edge rounds per call.
+        chunk_iters = max(1, min(64, (1 << 27) // max(graph.e_pad, 1) * 8))
+    state = _sssp_init(graph, jnp.int32(src), mode, float(delta))
+    done = 0
+    while done < max_iters:
+        upto = min(done + chunk_iters, max_iters)
+        state = _sssp_jit(graph, state, jnp.int32(upto), fcap=fcap,
+                          caps=caps, mode=mode, delta=float(delta),
+                          pallas=use_pallas)
+        it = int(state.stats.iteration)
+        if it < upto or bool(state.stats.overflow) or int(state.n) == 0:
+            break
+        done = it
+    preds = jnp.zeros((1,), jnp.int32)
+    if mark_preds:
+        preds = jax.jit(_fill_preds)(graph, state.dist)
+    return state.dist, preds, state.stats
 
 
 def sssp(graph: Union[CsrGraph, DeviceGraph], src: Union[int, str] = 0, *,

@@ -87,5 +87,5 @@ def test_cli_module_entry():
     p = subprocess.run(
         [sys.executable, "-m", "gunrock_tpu", "bfs", "rmat",
          "--rmat_scale=6", "--quick", "--quiet"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=300)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
     assert p.returncode == 0, p.stderr

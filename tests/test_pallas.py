@@ -109,3 +109,74 @@ def test_blocked_pull_or_interpret(seed):
     hits = mask[src]
     np.logical_or.at(ref, g.col_indices[hits], True)
     np.testing.assert_array_equal(reached, ref)
+
+
+def test_sssp_pull_relax_matches_push(rmat_small):
+    """The blocked min/add pull relaxation == the push relaxation."""
+    import gunrock_tpu as gt
+    import gunrock_tpu.ops.pallas_kernels as pk
+    from gunrock_tpu.models.sssp import _relax, _pull_relax, _State
+    from gunrock_tpu.enactor import init_stats
+    import jax.numpy as jnp
+
+    rmat_small.random_edge_values(seed=4)
+    dg = gt.to_device(rmat_small, with_edge_values=True,
+                      with_blocked_values=True, blocked_block_rows=8)
+    src = rmat_small.largest_degree_vertex()
+    dist = jnp.full((dg.v_pad,), jnp.inf, jnp.float32).at[src].set(0.0)
+    fmask = jnp.arange(dg.v_pad) == src
+    st = _State(dist=dist, fmask=fmask, n=jnp.int32(1), m_f=jnp.int32(0),
+                active=jnp.zeros((dg.v_pad,), bool),
+                level=jnp.float32(0.0), stats=init_stats())
+
+    d_push, _, _ = _relax(dg, st, dg.e_pad, dg.v_pad)
+
+    orig_vr = pk._blocked_value_2d
+    orig_ss = pk._sample_sorted_2d
+
+    def vr_i(*a, **kw):
+        kw["interpret"] = True
+        return orig_vr(*a, **kw)
+
+    def ss_i(*a, **kw):
+        kw["interpret"] = True
+        return orig_ss(*a, **kw)
+
+    pk._blocked_value_2d = vr_i
+    pk._sample_sorted_2d = ss_i
+    try:
+        d_pull, _, _ = _pull_relax(dg, st)
+    finally:
+        pk._blocked_value_2d = orig_vr
+        pk._sample_sorted_2d = orig_ss
+
+    a = np.asarray(d_push)[: rmat_small.num_nodes]
+    b = np.asarray(d_pull)[: rmat_small.num_nodes]
+    fin = np.isfinite(a)
+    np.testing.assert_array_equal(np.isfinite(b), fin)
+    np.testing.assert_allclose(b[fin], a[fin], rtol=1e-6)
+
+
+def test_cc_pallas_matches_xla(rmat_small):
+    """Min-hooking via the blocked value kernel == the scatter path."""
+    import gunrock_tpu as gt
+    import gunrock_tpu.ops.pallas_kernels as pk
+    from gunrock_tpu.models.cc import _cc_loop
+
+    dg = gt.to_device(rmat_small, with_edge_src=True,
+                      with_blocked_values=True, blocked_block_rows=8)
+    ref_comp, ref_n, _ = _cc_loop(dg, pallas=False)
+
+    orig_vr = pk._blocked_value_2d
+    orig_ss = pk._sample_sorted_2d
+    pk._blocked_value_2d = lambda *a, **kw: orig_vr(
+        *a, **{**kw, "interpret": True})
+    pk._sample_sorted_2d = lambda *a, **kw: orig_ss(
+        *a, **{**kw, "interpret": True})
+    try:
+        comp, n, _ = _cc_loop(dg, pallas=True)
+    finally:
+        pk._blocked_value_2d = orig_vr
+        pk._sample_sorted_2d = orig_ss
+    np.testing.assert_array_equal(np.asarray(comp), np.asarray(ref_comp))
+    assert int(n) == int(ref_n)

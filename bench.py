@@ -59,9 +59,24 @@ def main():
         bfs_device(dgraph, src, direction_optimized=True))
 
     labels, _, stats = run()  # warmup + compile
-    reached = np.asarray(labels)[: g.num_nodes] >= 0
+    lab = np.asarray(labels)[: g.num_nodes]
+    reached = lab >= 0
     degs = np.diff(g.row_offsets).astype(np.int64)
     edges_visited = int(degs[reached].sum())
+
+    # Structural correctness gate: BFS labels must satisfy the edge
+    # relaxation property |l(u)-l(v)| <= 1 on reached edges, src label 0.
+    assert lab[src] == 0, "src label wrong"
+    rng = np.random.default_rng(0)
+    probe = rng.integers(0, g.num_edges, 200_000)
+    es = g.edge_sources()[probe]
+    ed = g.col_indices[probe]
+    both = (lab[es] >= 0) & (lab[ed] >= 0)
+    assert (np.abs(lab[es][both].astype(np.int64) -
+                   lab[ed][both].astype(np.int64)) <= 1).all(), \
+        "BFS label property violated"
+    assert not (reached[es] & ~reached[ed]).any(), \
+        "reached vertex with unreached neighbor"
 
     best = float("inf")
     for _ in range(RUNS):

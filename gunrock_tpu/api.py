@@ -13,7 +13,8 @@ arrays and call these).
 
 from __future__ import annotations
 
-from typing import Optional, Union
+
+from typing import Union
 
 import numpy as np
 

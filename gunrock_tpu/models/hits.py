@@ -48,8 +48,12 @@ def _hits_loop(graph: DeviceGraph, max_iters: jax.Array):
     def body(i, carry):
         hub, auth = carry
         # auth[v] = sum of hub over in-neighbors (advance over CSC).
-        auth = row_reduce_sorted(hub[graph.csc_indices],
-                                 graph.csc_offsets, op="sum")
+        if graph.has_blocked_values:
+            from ..ops.pallas_kernels import pull_vertex_reduce
+            auth = pull_vertex_reduce(hub, graph, op="sum", wmode="none")
+        else:
+            auth = row_reduce_sorted(hub[graph.csc_indices],
+                                     graph.csc_offsets, op="sum")
         auth = auth / jnp.maximum(jnp.max(auth), 1e-12)
         # hub[u] = sum of auth over out-neighbors (advance over CSR).
         hub = row_reduce_sorted(auth[graph.col_indices],

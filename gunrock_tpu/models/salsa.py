@@ -50,8 +50,13 @@ def _salsa_loop(graph: DeviceGraph, max_iters: jax.Array):
 
     def body(i, carry):
         hub, auth = carry
-        auth = row_reduce_sorted((hub * inv_out)[graph.csc_indices],
-                                 graph.csc_offsets, op="sum")
+        if graph.has_blocked_values:
+            from ..ops.pallas_kernels import pull_vertex_reduce
+            auth = pull_vertex_reduce(hub * inv_out, graph, op="sum",
+                                      wmode="none")
+        else:
+            auth = row_reduce_sorted((hub * inv_out)[graph.csc_indices],
+                                     graph.csc_offsets, op="sum")
         hub = row_reduce_sorted((auth * inv_in)[graph.col_indices],
                                 graph.row_offsets, op="sum")
         return hub, auth

@@ -69,8 +69,14 @@ def _wtf_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array,
 
     def pr_body(carry):
         rank, _, it = carry
-        incoming = row_reduce_sorted((rank * inv_out)[graph.csc_indices],
-                                     graph.csc_offsets, op="sum")
+        if graph.has_blocked_values:
+            from ..ops.pallas_kernels import pull_vertex_reduce
+            incoming = pull_vertex_reduce(rank * inv_out, graph, op="sum",
+                                          wmode="none")
+        else:
+            incoming = row_reduce_sorted(
+                (rank * inv_out)[graph.csc_indices],
+                graph.csc_offsets, op="sum")
         new_rank = delta * incoming + (1.0 - delta) * is_src
         new_rank = jnp.where(vmask, new_rank, 0.0)
         return new_rank, jnp.sum(jnp.abs(new_rank - rank)), it + 1

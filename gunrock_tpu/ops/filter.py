@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 from .segment import compact, dedup_winners
 

@@ -16,7 +16,6 @@ no per-peer event machinery: XLA overlaps the all-to-all with local work.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax

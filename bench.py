@@ -53,7 +53,10 @@ def main():
 
     g = load_graph()
     src = g.largest_degree_vertex()
-    dgraph = gt.to_device(g, with_csc=True, with_blocked_csc=True)
+    dgraph = gt.to_device(
+        g, with_csc=True, with_blocked_csc=True,
+        blocked_cache=os.path.join(
+            CACHE_DIR, f"rmat_n{SCALE}_e{EDGE_FACTOR}.blocked.npz"))
 
     run = lambda: jax.block_until_ready(
         bfs_device(dgraph, src, direction_optimized=True))

@@ -119,7 +119,7 @@ def main():
 
     if want("bc"):
         from gunrock_tpu.models.bc import bc_device
-        dgb = gt.to_device(g)
+        dgb = gt.to_device(g, with_blocked_values=True)
         out = jax.block_until_ready(bc_device(dgb, src))
         ms = best_ms(lambda: bc_device(dgb, src))
         emit(f"bc_rmat{SCALE}", ms, 2 * E)

@@ -20,6 +20,7 @@ Padding invariants:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional
 
@@ -258,6 +259,7 @@ def to_device(
     with_blocked_csc: bool = False,
     with_blocked_values: bool = False,
     blocked_block_rows: Optional[int] = None,
+    blocked_cache: Optional[str] = None,
 ) -> DeviceGraph:
     """Upload a host CSR to the device with tile-aligned padding.
 
@@ -296,8 +298,37 @@ def to_device(
     blocked = {}
     if with_blocked_csc or with_blocked_values:
         br = blocked_block_rows or (512 if e_pad >= (1 << 22) else 8)
-        built = build_blocked_csc(g, v_pad, br,
-                                  with_vertex_samples=with_blocked_values)
+        built = None
+        if blocked_cache and os.path.exists(blocked_cache):
+            # The blocked layout is expensive to build (host lexsort over
+            # all edges) — reload it from the .npz cache when present.
+            with np.load(blocked_cache) as z:
+                if (int(z["block_rows"]) == br
+                        and bool(z["has_vsamples"]) >= with_blocked_values):
+                    built = {k: jnp.asarray(z[k]) for k in z.files
+                             if k.startswith("bcsc_")}
+                    built["bcsc_groups"] = int(z["groups"])
+                    built["bcsc_rows_per_group"] = int(z["rows_per_group"])
+                    built["bcsc_block_rows"] = int(z["block_rows"])
+        if built is None:
+            built = build_blocked_csc(
+                g, v_pad, br, with_vertex_samples=with_blocked_values)
+            if built is not None and blocked_cache:
+                arrs = {k: np.asarray(v) for k, v in built.items()
+                        if k.startswith("bcsc_") and v is not None}
+                arrs["groups"] = np.int64(built["bcsc_groups"])
+                arrs["rows_per_group"] = np.int64(
+                    built["bcsc_rows_per_group"])
+                arrs["block_rows"] = np.int64(built["bcsc_block_rows"])
+                arrs["has_vsamples"] = np.bool_(
+                    "bcsc_vsample_pos" in built)
+                try:
+                    tmp = blocked_cache + ".tmp"
+                    with open(tmp, "wb") as f:
+                        np.savez(f, **arrs)
+                    os.replace(tmp, blocked_cache)
+                except OSError:
+                    pass
         if built is not None:
             blocked = built
 

@@ -166,7 +166,83 @@ def _bc_loop(graph: DeviceGraph, src: jax.Array, *, fcap: int,
 _bc_jit = jax.jit(_bc_loop, static_argnames=("fcap", "caps"))
 
 
+# ---------------------------------------------------------------------------
+# Pull-mode BC (undirected graphs with blocked value tables): each level of
+# both phases is ONE blocked value-kernel pass — sigma[v] = sum of sigma
+# over in-neighbors one level up; delta[u] = sigma[u] * sum over neighbors
+# one level down of (1+delta)/sigma. Host-chunked to stay under device
+# execution limits (and matching the reference's enactor-driven phases).
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _bc_pull_fwd_chunk(graph: DeviceGraph, labels, sigma, d0, *, chunk: int):
+    from ..ops.pallas_kernels import pull_vertex_reduce
+
+    def body(carry):
+        labels, sigma, d, _ = carry
+        contrib = jnp.where(labels == d - 1, sigma, 0.0)
+        s = pull_vertex_reduce(contrib, graph, op="sum", wmode="none")
+        new = (labels == -1) & (s > 0)
+        labels = jnp.where(new, d, labels)
+        sigma = jnp.where(new, s, sigma)
+        return labels, sigma, d + 1, jnp.sum(new.astype(jnp.int32))
+
+    def cond(carry):
+        labels, sigma, d, changed = carry
+        return (changed > 0) & (d < d0 + chunk)
+
+    return jax.lax.while_loop(cond, body,
+                              (labels, sigma, d0, jnp.int32(1)))
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _bc_pull_bwd_chunk(graph: DeviceGraph, labels, sigma, delta, d_hi,
+                       d_lo, *, chunk: int):
+    from ..ops.pallas_kernels import pull_vertex_reduce
+
+    def body(carry):
+        delta, d = carry
+        contrib = jnp.where(labels == d + 1,
+                            (1.0 + delta) / jnp.maximum(sigma, 1e-30), 0.0)
+        acc = pull_vertex_reduce(contrib, graph, op="sum", wmode="none")
+        delta = jnp.where(labels == d, sigma * acc, delta)
+        return delta, d - 1
+
+    def cond(carry):
+        delta, d = carry
+        return d >= d_lo
+
+    return jax.lax.while_loop(cond, body, (delta, d_hi))
+
+
+def _bc_pull(graph: DeviceGraph, src: int, chunk: int = 16):
+    v_pad = graph.v_pad
+    labels = jnp.full((v_pad,), -1, jnp.int32).at[src].set(0)
+    sigma = jnp.zeros((v_pad,), jnp.float32).at[src].set(1.0)
+    d = jnp.int32(1)
+    while True:
+        labels, sigma, d, changed = jax.block_until_ready(
+            _bc_pull_fwd_chunk(graph, labels, sigma, d, chunk=chunk))
+        if int(changed) == 0:
+            break
+    depth = int(d) - 1          # last level that discovered nothing
+    delta = jnp.zeros((v_pad,), jnp.float32)
+    hi = depth - 1
+    while hi >= 0:
+        lo = max(0, hi - chunk + 1)
+        delta, _ = jax.block_until_ready(
+            _bc_pull_bwd_chunk(graph, labels, sigma, delta, jnp.int32(hi),
+                               jnp.int32(lo), chunk=chunk))
+        hi = lo - 1
+    bc_vals = jnp.where(jnp.arange(v_pad) == src, 0.0, delta)
+    stats = init_stats()
+    stats = dataclasses.replace(stats, iteration=jnp.int32(depth))
+    return bc_vals, sigma, labels, stats
+
+
 def bc_device(graph: DeviceGraph, src, *, queue_sizing: float = 1.0):
+    if (jax.default_backend() == "tpu" and graph.has_blocked_values):
+        return _bc_pull(graph, int(src))
     fcap = max(128, int(graph.v_pad * min(queue_sizing, 1.0)))
     out_cap = max(128, int(graph.e_pad * min(queue_sizing, 1.0)))
     caps = tuple(capacity_ladder(out_cap))

@@ -463,18 +463,29 @@ _CHUNK_ROWS = 64              # DMA window chunk = 64*128 = 8192 values
 
 
 def _sample_kernel(arr_ref, pos_ref, o_ref, scratch, sem):
+    # scratch: (2, CHUNK_ROWS, 128) double buffer; sem: 2 DMA semaphores.
     pos = pos_ref[...]                       # (TR,128) sorted positions
     shape = pos.shape
     chunk_vals = _CHUNK_ROWS * LANE
     c0 = pos[0, 0] // chunk_vals
     c1 = pos[shape[0] - 1, LANE - 1] // chunk_vals
 
-    def visit(c, acc):
-        dma = pltpu.make_async_copy(
+    def start_dma(c, slot):
+        return pltpu.make_async_copy(
             arr_ref.at[pl.ds(c * _CHUNK_ROWS, _CHUNK_ROWS), :],
-            scratch, sem)
-        dma.start()
-        dma.wait()
+            scratch.at[slot], sem.at[slot])
+
+    start_dma(c0, 0).start()
+
+    def visit(i, acc):
+        c = c0 + i
+        slot = i % 2
+
+        @pl.when(c + 1 <= c1)
+        def _():
+            start_dma(c + 1, (i + 1) % 2).start()
+
+        start_dma(c, slot).wait()
         local = pos - c * chunk_vals
         ok = (local >= 0) & (local < chunk_vals)
         lsafe = jnp.where(ok, local, 0)
@@ -482,13 +493,13 @@ def _sample_kernel(arr_ref, pos_ref, o_ref, scratch, sem):
         llane = lsafe & (LANE - 1)
 
         def rows(r, a):
-            rowv = jnp.broadcast_to(scratch[pl.ds(r, 1), :], shape)
+            rowv = jnp.broadcast_to(scratch[slot, pl.ds(r, 1), :], shape)
             v = jnp.take_along_axis(rowv, llane, axis=1)
             return jnp.where(ok & (lrow == r), v, a)
 
         return jax.lax.fori_loop(0, _CHUNK_ROWS, rows, acc)
 
-    acc = jax.lax.fori_loop(c0, c1 + 1, visit,
+    acc = jax.lax.fori_loop(0, c1 - c0 + 1, visit,
                             jnp.zeros(shape, arr_ref.dtype))
     o_ref[...] = acc
 
@@ -506,8 +517,8 @@ def _sample_sorted_2d(arr2d: jax.Array, pos2d: jax.Array, *,
         out_specs=pl.BlockSpec((_SAMPLE_TILE_ROWS, LANE), lambda k: (k, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, LANE), arr2d.dtype),
-        scratch_shapes=[pltpu.VMEM((_CHUNK_ROWS, LANE), arr2d.dtype),
-                        pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=[pltpu.VMEM((2, _CHUNK_ROWS, LANE), arr2d.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(arr2d, pos2d)
 

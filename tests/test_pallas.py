@@ -180,3 +180,36 @@ def test_cc_pallas_matches_xla(rmat_small):
         pk._sample_sorted_2d = orig_ss
     np.testing.assert_array_equal(np.asarray(comp), np.asarray(ref_comp))
     assert int(n) == int(ref_n)
+
+
+def test_bc_pull_matches_push(chesapeake):
+    """Pull-mode BC (value kernel) == the push frontier machinery."""
+    import gunrock_tpu as gt
+    import gunrock_tpu.ops.pallas_kernels as pk
+    from gunrock_tpu.models.bc import _bc_pull, _bc_loop
+    from gunrock_tpu.enactor import capacity_ladder
+
+    dg = gt.to_device(chesapeake, with_blocked_values=True,
+                      blocked_block_rows=8)
+    src = chesapeake.largest_degree_vertex()
+    caps = tuple(capacity_ladder(dg.e_pad))
+    ref_bc, ref_sig, ref_lab, _ = _bc_loop(dg, jnp.int32(src),
+                                           fcap=dg.v_pad, caps=caps)
+
+    orig_vr = pk._blocked_value_2d
+    orig_ss = pk._sample_sorted_2d
+    pk._blocked_value_2d = lambda *a, **kw: orig_vr(
+        *a, **{**kw, "interpret": True})
+    pk._sample_sorted_2d = lambda *a, **kw: orig_ss(
+        *a, **{**kw, "interpret": True})
+    try:
+        bc_v, sig, lab, _ = _bc_pull(dg, src, chunk=4)
+    finally:
+        pk._blocked_value_2d = orig_vr
+        pk._sample_sorted_2d = orig_ss
+
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(ref_lab))
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(ref_sig),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(bc_v), np.asarray(ref_bc),
+                               rtol=1e-4, atol=1e-4)

@@ -43,12 +43,12 @@ class TcResult:
 
 @partial(jax.jit, static_argnames=("num_edges", "wedge_cap", "probe_steps"))
 def tc_device(row_offsets: jax.Array, col_indices: jax.Array,
-              edge_src: jax.Array, *, num_edges: int, wedge_cap: int,
-              probe_steps: int = 32):
-    """Per-edge triangle counts over an oriented CSR (device arrays)."""
+              chunk_src: jax.Array, chunk_dst: jax.Array, *,
+              num_edges: int, wedge_cap: int, probe_steps: int = 32):
+    """Per-edge triangle counts for one edge chunk of an oriented CSR."""
     counts, vcounts, wedges = intersect_counts(
-        row_offsets, col_indices, edge_src, num_edges, wedge_cap,
-        probe_steps)
+        row_offsets, col_indices, chunk_src, chunk_dst, num_edges,
+        wedge_cap, probe_steps)
     return counts, vcounts, jnp.sum(counts, dtype=jnp.int32), wedges
 
 
@@ -72,35 +72,59 @@ def tc(graph: Union[CsrGraph], *, undirected_input: bool = True) -> TcResult:
         src = g.edge_sources()
         g = from_coo(g.num_nodes, src, g.col_indices, undirected=True)
 
+    WEDGE_BUDGET = 1 << 26   # wedges per device chunk (~0.3 GB peak)
+
     with timer.time("preprocess_ms"):
         dag = _orient(g)
         deg = np.diff(dag.row_offsets).astype(np.int64)
-        wedge_total = int(deg[dag.col_indices].sum())
-        wedge_cap = round_up(max(wedge_total, 1))
-        e_pad = round_up(max(dag.num_edges, 1))
+        per_edge_wedges = deg[dag.col_indices]
+        wedge_total = int(per_edge_wedges.sum())
         v_pad = round_up(max(dag.num_nodes, 1))
         row = np.full(v_pad + 1, dag.num_edges, np.int32)
         row[: dag.num_nodes + 1] = dag.row_offsets.astype(np.int32)
+        e_pad = round_up(max(dag.num_edges, 1))
         col = np.zeros(e_pad, np.int32)
         col[: dag.num_edges] = dag.col_indices
-        esrc = np.zeros(e_pad, np.int32)
-        esrc[: dag.num_edges] = dag.edge_sources()
+        esrc_full = dag.edge_sources().astype(np.int32)
+        # Chunk edges so each chunk's wedge count fits the budget.
+        wcum = np.concatenate([[0], np.cumsum(per_edge_wedges)])
+        bounds = [0]
+        while bounds[-1] < dag.num_edges:
+            nxt = int(np.searchsorted(
+                wcum, wcum[bounds[-1]] + WEDGE_BUDGET, side="right")) - 1
+            bounds.append(min(max(nxt, bounds[-1] + 1), dag.num_edges))
+        chunk_e = round_up(max(max(b - a for a, b in
+                                   zip(bounds, bounds[1:])), 1))
+        wedge_cap = round_up(int(max(
+            (wcum[b] - wcum[a] for a, b in zip(bounds, bounds[1:])),
+            default=1)) or 1)
 
     probe_steps = int(np.ceil(np.log2(max(int(deg.max(initial=1)), 1) + 1))) + 1
 
     with timer.time("process_ms"):
-        counts, vcounts, total, wedges = jax.block_until_ready(
-            tc_device(jnp.asarray(row), jnp.asarray(col), jnp.asarray(esrc),
-                      num_edges=dag.num_edges, wedge_cap=wedge_cap,
-                      probe_steps=probe_steps))
-
-    counts_np = np.asarray(counts)[: dag.num_edges]
-    vcounts = np.asarray(vcounts)[: g.num_nodes].astype(np.int64)
+        rowj = jnp.asarray(row)
+        colj = jnp.asarray(col)
+        counts_np = np.zeros(dag.num_edges, np.int32)
+        vcounts = np.zeros(g.num_nodes, np.int64)
+        total = 0
+        for a, b in zip(bounds, bounds[1:]):
+            csrc = np.zeros(chunk_e, np.int32)
+            cdst = np.zeros(chunk_e, np.int32)
+            csrc[: b - a] = esrc_full[a:b]
+            cdst[: b - a] = col[a:b]
+            cc, vc, tt, _ = jax.block_until_ready(
+                tc_device(rowj, colj, jnp.asarray(csrc), jnp.asarray(cdst),
+                          num_edges=b - a, wedge_cap=wedge_cap,
+                          probe_steps=probe_steps))
+            counts_np[a:b] = np.asarray(cc)[: b - a]
+            vcounts += np.asarray(vc)[: g.num_nodes].astype(np.int64)
+            total += int(tt)
     info = make_info(
         primitive="tc", graph=g, timer=timer,
         edges_visited=wedge_total,
         extra={"num_triangles": int(total),
-               "wedges_probed": wedge_total},
+               "wedges_probed": wedge_total,
+               "num_chunks": len(bounds) - 1},
     )
     return TcResult(total=int(total), edge_counts=counts_np,
                     vertex_counts=vcounts, info=info)

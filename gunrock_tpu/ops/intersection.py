@@ -46,24 +46,26 @@ def row_probe(row_offsets: jax.Array, col_indices: jax.Array,
 
 
 def intersect_counts(row_offsets: jax.Array, col_indices: jax.Array,
-                     edge_src: jax.Array, num_edges: int,
-                     wedge_cap: int, probe_steps: int = 32,
+                     chunk_src: jax.Array, chunk_dst: jax.Array,
+                     num_edges: int, wedge_cap: int,
+                     probe_steps: int = 32,
                      ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Per-edge |N(u) ∩ N(v)| over one CSR (typically degree-oriented).
+    """Per-edge |N(u) ∩ N(v)| for the edge chunk (chunk_src, chunk_dst)
+    over one CSR (typically degree-oriented).
 
-    For each edge e=(u, v), expands the wedge set {(u, v, w): w ∈ N(v)}
-    with the same merge-path rank-search as :mod:`gunrock_tpu.ops.advance`,
-    then binary-searches each w inside u's sorted row. Returns
-    ``(per_edge_counts, per_vertex_counts, total_wedges)`` — vertex counts
-    credit every triangle to all three corners. ``total_wedges >
-    wedge_cap`` signals overflow (callers size ``wedge_cap`` exactly on
-    the host, so this is a diagnostic, not a correctness hazard).
+    For each chunk edge e=(u, v), expands the wedge set
+    {(u, v, w): w ∈ N(v)} with the same merge-path rank-search as
+    :mod:`gunrock_tpu.ops.advance`, then binary-searches each w inside
+    u's sorted row. Edge chunking bounds the wedge working set — callers
+    size ``wedge_cap`` from the chunk's exact wedge count and loop over
+    chunks for big graphs. Returns ``(per_chunk_edge_counts,
+    per_vertex_counts, total_wedges)``.
     """
-    e_pad = col_indices.shape[0]
+    e_pad = chunk_src.shape[0]
     lane_e = jnp.arange(e_pad, dtype=jnp.int32)
     evalid = lane_e < num_edges
     # Degree of each edge's *destination* = wedge fanout.
-    v = jnp.where(evalid, col_indices, 0)
+    v = jnp.where(evalid, chunk_dst, 0)
     deg = jnp.where(evalid, row_offsets[v + 1] - row_offsets[v], 0)
     ends = jnp.cumsum(deg)
     total = ends[-1] if e_pad else jnp.int32(0)
@@ -76,7 +78,7 @@ def intersect_counts(row_offsets: jax.Array, col_indices: jax.Array,
     mask = j < total
     wedge_eid = jnp.where(mask, wedge_eid, 0)
 
-    u = edge_src[rank_c]                       # first endpoint
+    u = chunk_src[rank_c]                      # first endpoint
     w = col_indices[wedge_eid]                 # candidate third vertex
     u_safe = jnp.where(mask, u, 0)
     hit = mask & row_probe(row_offsets, col_indices, u_safe, w, probe_steps)

@@ -58,8 +58,11 @@ def main():
         blocked_cache=os.path.join(
             CACHE_DIR, f"rmat_n{SCALE}_e{EDGE_FACTOR}.blocked.npz"))
 
+    # max_iters == chunk budget => single device call, no convergence
+    # probe round-trip; the structural asserts below catch truncation.
     run = lambda: jax.block_until_ready(
-        bfs_device(dgraph, src, direction_optimized=True))
+        bfs_device(dgraph, src, direction_optimized=True,
+                   max_iters=16384))
 
     labels, _, stats = run()  # warmup + compile
     lab = np.asarray(labels)[: g.num_nodes]

@@ -88,24 +88,36 @@ def _frontier_degree_sum(graph: DeviceGraph, frontier: jax.Array,
 
 
 def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool,
-                      use_pallas: bool = False):
+                      use_pallas: bool = False, may_rebuild: bool = True):
     def make(cap: int):
         def step(state: _State):
             depth = state.stats.iteration + 1
             cur = state.stats.iteration
-            # Lazy queue rebuild after pull iterations (the pull step
-            # leaves the frontier as the label mask).
-            frontier0, n0 = jax.lax.cond(
-                state.fvalid,
-                lambda: (state.frontier, state.n),
-                lambda: frontier_from_mask(state.labels == cur, fcap),
-            )
+            if may_rebuild:
+                # Lazy queue rebuild after pull iterations (the pull step
+                # leaves the frontier as the label mask).
+                frontier0, n0 = jax.lax.cond(
+                    state.fvalid,
+                    lambda: (state.frontier, state.n),
+                    lambda: frontier_from_mask(state.labels == cur, fcap),
+                )
+            else:
+                frontier0, n0 = state.frontier, state.n
             rebuild_ovf = n0 > fcap      # queue too small for this frontier
             n0 = jnp.minimum(n0, fcap)
-            # Sort the frontier so every gather in the expansion is
-            # monotonic (inactive lanes sink to the tail as +inf).
+            # Input-side laddering: the expansion must not scan the
+            # full queue capacity for small frontiers — slice to the
+            # rung width (the dispatch size is max(m_f, n), so the rung
+            # bounds the frontier length too).
+            in_cap = min(cap, fcap)
+            frontier0 = jax.lax.dynamic_slice(frontier0, (0,), (in_cap,))
+            rebuild_ovf = rebuild_ovf | (n0 > in_cap)
+            n0 = jnp.minimum(n0, in_cap)
+            # Sort the (sliced) frontier so every gather in the
+            # expansion is monotonic — the sort itself is rung-width,
+            # so it is cheap on every rung.
             fr = jnp.sort(jnp.where(
-                jnp.arange(fcap, dtype=jnp.int32) < n0, frontier0,
+                jnp.arange(in_cap, dtype=jnp.int32) < n0, frontier0,
                 jnp.int32(0x7FFFFFF0)))
             fr = jnp.minimum(fr, graph.v_pad - 1)
             ex = expand(graph, fr, n0, cap, sorted_frontier=True)
@@ -200,25 +212,47 @@ def _fill_preds(graph: DeviceGraph, labels: jax.Array,
     return jnp.where(ok, graph.csc_indices[jnp.maximum(last, 0)], preds)
 
 
-def _bfs_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array, *,
-              fcap: int, caps: tuple[int, ...], mark_preds: bool,
-              direction_optimized: bool, alpha: float, beta: float,
-              pallas_pull: bool = False):
+def _bfs_init(graph: DeviceGraph, src: jax.Array, fcap: int,
+              mark_preds: bool) -> _State:
     v_pad = graph.v_pad
     labels = jnp.full((v_pad,), INVALID, jnp.int32).at[src].set(0)
     preds = (jnp.full((v_pad,), INVALID, jnp.int32) if mark_preds
              else jnp.zeros((1,), jnp.int32))
-    frontier = jnp.zeros((fcap,), jnp.int32).at[0].set(src)
+    return _State(
+        labels=labels, preds=preds,
+        frontier=jnp.zeros((fcap,), jnp.int32).at[0].set(src),
+        n=jnp.int32(1),
+        m_f=(graph.row_offsets[src + 1] - graph.row_offsets[src]),
+        fvalid=jnp.bool_(True), use_pull=jnp.bool_(False),
+        unexplored=jnp.float32(graph.num_edges),
+        stats=init_stats(),
+    )
 
+
+def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
+              fcap: int, caps: tuple[int, ...], mark_preds: bool,
+              direction_optimized: bool, alpha: float, beta: float,
+              pallas_pull: bool = False, init: bool = False):
+    """Traversal rounds until convergence or ``upto`` iterations —
+    bounded so the host can enact deep traversals in chunks (device
+    execution limits; also the reference's enactor shape). With
+    ``init=True`` the first argument is the source vertex and the state
+    is built in-graph (keeps the first chunk a single dispatch)."""
+    if init:
+        state = _bfs_init(graph, state, fcap, mark_preds)
     push = _make_push_branch(graph, fcap, mark_preds,
-                             use_pallas=pallas_pull)
+                             use_pallas=pallas_pull,
+                             may_rebuild=direction_optimized)
 
     def cond(state: _State):
-        return (state.n > 0) & (state.stats.iteration < max_iters) & \
+        return (state.n > 0) & (state.stats.iteration < upto) & \
                (~state.stats.overflow)
 
     def body(state: _State):
         m_f = state.m_f
+        # rung must bound the frontier LENGTH too (outdeg-0 vertices can
+        # make n exceed m_f on directed graphs)
+        dispatch_size = jnp.maximum(m_f, state.n)
 
         if direction_optimized:
             # Beamer-style direction vote (reference per-GPU votes with
@@ -233,13 +267,13 @@ def _bfs_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array, *,
                 use_pull,
                 lambda s: _pull_step(graph, fcap, mark_preds, s,
                                      use_pallas=pallas_pull),
-                lambda s: dispatch_by_size(m_f, caps, push, s),
+                lambda s: dispatch_by_size(dispatch_size, caps, push, s),
                 state,
             )
         else:
             use_pull = state.use_pull
             (labels, preds, frontier, n, m_f_next, fvalid, edges,
-             overflow) = dispatch_by_size(m_f, caps, push, state)
+             overflow) = dispatch_by_size(dispatch_size, caps, push, state)
 
         stats = record_iteration(state.stats, frontier_len=n, edges=edges,
                                  overflow=overflow)
@@ -250,24 +284,18 @@ def _bfs_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array, *,
             stats=stats,
         )
 
-    init = _State(
-        labels=labels, preds=preds, frontier=frontier, n=jnp.int32(1),
-        m_f=(graph.row_offsets[src + 1] - graph.row_offsets[src]),
-        fvalid=jnp.bool_(True), use_pull=jnp.bool_(False),
-        unexplored=jnp.float32(graph.num_edges),
-        stats=init_stats(),
-    )
-    final = jax.lax.while_loop(cond, body, init)
-    preds_out = final.preds
-    if mark_preds and direction_optimized:
-        preds_out = _fill_preds(graph, final.labels, preds_out)
-    return (final.labels, preds_out, final.stats)
+    out = jax.lax.while_loop(cond, body, state)
+    # Single packed convergence probe: one host fetch per chunk instead
+    # of three scalar round-trips over the device tunnel.
+    probe = jnp.stack([out.stats.iteration,
+                       out.stats.overflow.astype(jnp.int32), out.n])
+    return out, probe
 
 
 _bfs_jit = jax.jit(
     _bfs_loop,
     static_argnames=("fcap", "caps", "mark_preds", "direction_optimized",
-                     "alpha", "beta", "pallas_pull"),
+                     "alpha", "beta", "pallas_pull", "init"),
 )
 
 
@@ -275,7 +303,8 @@ def bfs_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
                direction_optimized: bool = False, alpha: float = 15.0,
                beta: float = 18.0, queue_sizing: float = 1.0,
                max_iters: Optional[int] = None,
-               pallas_pull: Optional[bool] = None):
+               pallas_pull: Optional[bool] = None,
+               chunk_iters: int = 16384):
     """Jit-compiled BFS on an already-uploaded graph; returns device arrays
     ``(labels, preds, stats, edges_visited)``."""
     if direction_optimized and not graph.has_csc:
@@ -295,10 +324,29 @@ def bfs_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
         # The Mosaic kernel is the fast path on real TPUs; the XLA
         # formulation is used on CPU (tests) and as a fallback.
         pallas_pull = jax.default_backend() == "tpu"
-    return _bfs_jit(graph, jnp.int32(src), jnp.int32(max_iters),
-                    fcap=fcap, caps=caps, mark_preds=mark_preds,
-                    direction_optimized=direction_optimized,
-                    alpha=alpha, beta=beta, pallas_pull=pallas_pull)
+    def chunk(st, upto, first):
+        return _bfs_jit(
+            graph, st, jnp.int32(upto),
+            fcap=fcap, caps=caps, mark_preds=mark_preds,
+            direction_optimized=direction_optimized,
+            alpha=alpha, beta=beta, pallas_pull=pallas_pull, init=first)
+
+    # Chunked enactment: one bounded while_loop per device call (the
+    # serving path kills long executions); the convergence probe is one
+    # packed scalar fetch per chunk, and the default chunk covers any
+    # realistic BFS depth in a single call.
+    upto = min(chunk_iters, max_iters)
+    state, probe = chunk(jnp.int32(src), upto, True)
+    while upto < max_iters:
+        it, ovf, n = (int(x) for x in np.asarray(probe))
+        if it < upto or ovf or n == 0:
+            break
+        upto = min(upto + chunk_iters, max_iters)
+        state, probe = chunk(state, upto, False)
+    preds_out = state.preds
+    if mark_preds and direction_optimized:
+        preds_out = jax.jit(_fill_preds)(graph, state.labels, state.preds)
+    return state.labels, preds_out, state.stats
 
 
 def bfs(graph: Union[CsrGraph, DeviceGraph], src: Union[int, str] = 0, *,

@@ -77,9 +77,13 @@ def _relax(graph: DeviceGraph, state: _State, cap: int, fcap: int):
     resolution (the reference's atomicMin race bookkeeping disappears).
     """
     frontier, n0 = frontier_from_mask(state.fmask, fcap)
-    ovf = n0 > fcap
-    n0 = jnp.minimum(n0, fcap)
-    fr = jnp.where(jnp.arange(fcap, dtype=jnp.int32) < n0,
+    # Input-side laddering: scan only the rung width, not the full queue
+    # (the dispatch size is max(m_f, n), so the rung bounds n too).
+    in_cap = min(cap, fcap)
+    frontier = jax.lax.dynamic_slice(frontier, (0,), (in_cap,))
+    ovf = n0 > in_cap
+    n0 = jnp.minimum(n0, in_cap)
+    fr = jnp.where(jnp.arange(in_cap, dtype=jnp.int32) < n0,
                    frontier, graph.v_pad - 1)
     ex = expand(graph, fr, n0, cap, sorted_frontier=True)
     dist_f = jnp.take(state.dist, fr, indices_are_sorted=True)
@@ -163,15 +167,17 @@ def _make_nearfar_branch(graph, fcap, delta, use_pallas):
     return make
 
 
-def _sssp_loop(graph: DeviceGraph, state: _State, upto: jax.Array, *,
+def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array, *,
                fcap: int, caps: tuple[int, ...], mode: str, delta: float,
-               pallas: bool = False):
+               pallas: bool = False, init: bool = False):
     """Run relaxation rounds until convergence or ``upto`` iterations.
 
     Bounded so the host can enact in chunks (one compiled while_loop per
     chunk) — long traversals otherwise exceed device-execution limits,
     and this mirrors the reference's enactor driving rounds from the
     host."""
+    if init:
+        state = _sssp_init(graph, state, mode, delta)
     use_pallas = pallas and graph.has_blocked_values
 
     if mode == "nearfar":
@@ -191,17 +197,22 @@ def _sssp_loop(graph: DeviceGraph, state: _State, upto: jax.Array, *,
                 max(1, min(graph.num_edges // 32, 2**30)))
             out = jax.lax.cond(
                 big, branch(None),
-                lambda st: dispatch_by_size(st.m_f, caps, branch, st),
+                lambda st: dispatch_by_size(
+                    jnp.maximum(st.m_f, st.n), caps, branch, st),
                 state)
         else:
-            out = dispatch_by_size(state.m_f, caps, branch, state)
+            out = dispatch_by_size(jnp.maximum(state.m_f, state.n), caps,
+                                   branch, state)
         dist, fmask, n, m_f, active, level, edges, overflow = out
         stats = record_iteration(state.stats, frontier_len=n, edges=edges,
                                  overflow=overflow)
         return _State(dist=dist, fmask=fmask, n=n, m_f=m_f,
                       active=active, level=level, stats=stats)
 
-    return jax.lax.while_loop(cond, body, state)
+    out = jax.lax.while_loop(cond, body, state)
+    probe = jnp.stack([out.stats.iteration,
+                       out.stats.overflow.astype(jnp.int32), out.n])
+    return out, probe
 
 
 def _sssp_init(graph: DeviceGraph, src: jax.Array, mode: str,
@@ -238,7 +249,7 @@ def _fill_preds(graph: DeviceGraph, dist: jax.Array) -> jax.Array:
 
 _sssp_jit = jax.jit(
     _sssp_loop,
-    static_argnames=("fcap", "caps", "mode", "delta", "pallas"),
+    static_argnames=("fcap", "caps", "mode", "delta", "pallas", "init"),
 )
 _fill_preds_jit = None  # jitted lazily below
 
@@ -261,17 +272,20 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
         # Bound each device call well under execution watchdogs: big
         # graphs relax at most a few full-edge rounds per call.
         chunk_iters = max(1, min(64, (1 << 27) // max(graph.e_pad, 1) * 8))
-    state = _sssp_init(graph, jnp.int32(src), mode, float(delta))
-    done = 0
-    while done < max_iters:
-        upto = min(done + chunk_iters, max_iters)
-        state = _sssp_jit(graph, state, jnp.int32(upto), fcap=fcap,
-                          caps=caps, mode=mode, delta=float(delta),
-                          pallas=use_pallas)
-        it = int(state.stats.iteration)
-        if it < upto or bool(state.stats.overflow) or int(state.n) == 0:
+    def chunk(st, upto, first):
+        return _sssp_jit(graph, st, jnp.int32(upto), fcap=fcap,
+                         caps=caps, mode=mode, delta=float(delta),
+                         pallas=use_pallas, init=first)
+
+    # Chunked enactment (see bfs_device).
+    upto = min(chunk_iters, max_iters)
+    state, probe = chunk(jnp.int32(src), upto, True)
+    while upto < max_iters:
+        it, ovf, n = (int(x) for x in np.asarray(probe))
+        if it < upto or ovf or n == 0:
             break
-        done = it
+        upto = min(upto + chunk_iters, max_iters)
+        state, probe = chunk(state, upto, False)
     preds = jnp.zeros((1,), jnp.int32)
     if mark_preds:
         preds = jax.jit(_fill_preds)(graph, state.dist)

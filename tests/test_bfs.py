@@ -89,3 +89,15 @@ def test_bfs_info_record(rmat_small):
     assert info["m_teps"] > 0
     assert len(info["per_iteration_frontier"]) == info["num_iterations"]
     assert sum(info["per_iteration_frontier"]) == info["nodes_queued"]
+
+
+def test_bfs_chunked_enactment(road_like):
+    """Multi-chunk host enactment (tiny chunks force several device
+    calls + convergence probes) must match the single-chunk result."""
+    from gunrock_tpu.models.bfs import bfs_device
+    import jax
+    dg = gt.to_device(road_like)
+    ref = jax.block_until_ready(bfs_device(dg, 0))
+    got = jax.block_until_ready(bfs_device(dg, 0, chunk_iters=7))
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    assert int(got[2].iteration) == int(ref[2].iteration)

@@ -61,3 +61,12 @@ def test_sssp_nearfar_matches_bellman(weighted_rmat):
     a = sssp(weighted_rmat, src=5, mode="bellman")
     b = sssp(weighted_rmat, src=5, mode="nearfar")
     np.testing.assert_allclose(a.distances, b.distances, rtol=1e-5)
+
+
+def test_sssp_chunked_enactment(weighted_rmat):
+    from gunrock_tpu.models.sssp import sssp_device
+    import jax
+    dg = gt.to_device(weighted_rmat, with_edge_values=True)
+    ref = jax.block_until_ready(sssp_device(dg, 3))
+    got = jax.block_until_ready(sssp_device(dg, 3, chunk_iters=2))
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))

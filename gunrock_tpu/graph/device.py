@@ -148,7 +148,7 @@ def _bitmask_rows(v_pad: int) -> int:
 
 
 def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int,
-                      with_vertex_samples: bool = False):
+                      with_vertex_samples: bool = False, K: int = 16):
     """Blocked-CSC edge layout for the pull kernel.
 
     Edges grouped by source block (K groups), sorted by (dst, src) per
@@ -157,9 +157,11 @@ def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int,
     at the last edge of word w in group k IS the packed reach word — the
     kernel's consumers read results at these positions instead of doing
     vertex-scale boundary gathers.
+
+    ``K`` balances the kernel's two costs: in-VMEM gather rounds per block
+    scale as 1/K (smaller table slice), result sampling scales as K·V.
     """
     R_base = _bitmask_rows(v_pad)
-    K = 16
     rpg = max(-(-R_base // K), 8)
     rpg = ((rpg + 7) // 8) * 8
     R = rpg * K          # effective (padded) bitmask rows; extra rows zero
@@ -259,6 +261,7 @@ def to_device(
     with_blocked_csc: bool = False,
     with_blocked_values: bool = False,
     blocked_block_rows: Optional[int] = None,
+    blocked_groups: int = 16,
     blocked_cache: Optional[str] = None,
 ) -> DeviceGraph:
     """Upload a host CSR to the device with tile-aligned padding.
@@ -304,6 +307,7 @@ def to_device(
             # all edges) — reload it from the .npz cache when present.
             with np.load(blocked_cache) as z:
                 if (int(z["block_rows"]) == br
+                        and int(z["groups"]) == blocked_groups
                         and bool(z["has_vsamples"]) >= with_blocked_values):
                     built = {k: jnp.asarray(z[k]) for k in z.files
                              if k.startswith("bcsc_")}
@@ -312,7 +316,8 @@ def to_device(
                     built["bcsc_block_rows"] = int(z["block_rows"])
         if built is None:
             built = build_blocked_csc(
-                g, v_pad, br, with_vertex_samples=with_blocked_values)
+                g, v_pad, br, with_vertex_samples=with_blocked_values,
+                K=blocked_groups)
             if built is not None and blocked_cache:
                 arrs = {k: np.asarray(v) for k, v in built.items()
                         if k.startswith("bcsc_") and v is not None}

@@ -304,9 +304,16 @@ def bfs_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
                beta: float = 18.0, queue_sizing: float = 1.0,
                max_iters: Optional[int] = None,
                pallas_pull: Optional[bool] = None,
-               chunk_iters: int = 16384):
+               chunk_iters: int = 16384,
+               instrument: Optional[list] = None):
     """Jit-compiled BFS on an already-uploaded graph; returns device arrays
-    ``(labels, preds, stats, edges_visited)``."""
+    ``(labels, preds, stats, edges_visited)``.
+
+    ``instrument``: pass a list to enact one iteration per device call and
+    collect per-iteration wall-clock records ``{iteration, ms, frontier,
+    pull}`` into it — the reference's ``--instrumented`` kernel-stats mode
+    (``util/kernel_runtime_stats.cuh``); adds per-call dispatch overhead,
+    exactly like the reference's instrumented runs."""
     if direction_optimized and not graph.has_csc:
         raise ValueError("direction_optimized BFS needs to_device(with_csc=True)")
     # DO mode never materializes large (pull) frontiers as queues, so the
@@ -331,14 +338,25 @@ def bfs_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
             direction_optimized=direction_optimized,
             alpha=alpha, beta=beta, pallas_pull=pallas_pull, init=first)
 
+    if instrument is not None:
+        chunk_iters = 1
     # Chunked enactment: one bounded while_loop per device call (the
     # serving path kills long executions); the convergence probe is one
     # packed scalar fetch per chunk, and the default chunk covers any
     # realistic BFS depth in a single call.
+    import time as _time
+    t0 = _time.perf_counter()
     upto = min(chunk_iters, max_iters)
     state, probe = chunk(jnp.int32(src), upto, True)
     while upto < max_iters:
         it, ovf, n = (int(x) for x in np.asarray(probe))
+        if instrument is not None:
+            t1 = _time.perf_counter()
+            instrument.append({
+                "iteration": it, "ms": (t1 - t0) * 1e3,
+                "frontier": n,
+                "pull": bool(np.asarray(state.use_pull))})
+            t0 = t1
         if it < upto or ovf or n == 0:
             break
         upto = min(upto + chunk_iters, max_iters)
@@ -353,15 +371,18 @@ def bfs(graph: Union[CsrGraph, DeviceGraph], src: Union[int, str] = 0, *,
         mark_preds: bool = False, direction_optimized: bool = False,
         alpha: float = 15.0, beta: float = 18.0,
         queue_sizing: float = 1.0, max_iters: Optional[int] = None,
-        idempotence: bool = False) -> BfsResult:
+        idempotence: bool = False, instrumented: bool = False) -> BfsResult:
     """Run BFS from ``src`` and return host results + run record.
 
     API parity with the reference C entry point ``gunrock_bfs``
     (``gunrock/gunrock.h:173``, ``app/bfs/bfs_app.cu:393``).
     ``idempotence`` is accepted for parity but is a no-op (see module doc).
+    ``instrumented`` collects per-iteration timing/direction records into
+    ``info["per_iteration"]`` (reference ``--instrumented``).
     """
     del idempotence
     timer = Timer()
+    per_iter: Optional[list] = [] if instrumented else None
     num_nodes = graph.num_nodes
     if isinstance(graph, CsrGraph):
         if src == "largestdegree":
@@ -384,10 +405,12 @@ def bfs(graph: Union[CsrGraph, DeviceGraph], src: Union[int, str] = 0, *,
                 bfs_device(dgraph, src, mark_preds=mark_preds,
                            direction_optimized=direction_optimized,
                            alpha=alpha, beta=beta, queue_sizing=sizing,
-                           max_iters=max_iters))
+                           max_iters=max_iters, instrument=per_iter))
             if not bool(stats.overflow) or sizing >= 4.0:
                 break
             sizing = min(sizing * 2.0, 4.0)
+            if per_iter is not None:
+                per_iter.clear()
 
     labels_np = np.asarray(labels)[:num_nodes]
     preds_np = np.asarray(preds)[:num_nodes] if mark_preds else None
@@ -402,6 +425,8 @@ def bfs(graph: Union[CsrGraph, DeviceGraph], src: Union[int, str] = 0, *,
         edges_visited=edges_visited,
         extra={"src": src, "mark_predecessors": mark_preds,
                "direction_optimized": direction_optimized,
-               "search_depth": int(labels_np.max(initial=0))},
+               "instrumented": instrumented,
+               "search_depth": int(labels_np.max(initial=0)),
+               **({"per_iteration": per_iter} if instrumented else {})},
     )
     return BfsResult(labels=labels_np, preds=preds_np, info=info)

@@ -76,14 +76,15 @@ def _gather_kernel(rows_const: int, t_ref, i_ref, o_ref):
     shape = ii.shape
 
     def body(g, acc):
-        # unrolled x8 to amortize loop overhead (table rows are padded to
-        # a multiple of 8 by words_for)
+        # one dynamic slab read per 8 rows (table rows are padded to a
+        # multiple of 8 by words_for), then static sub-rows — dynamic
+        # per-row addressing costs ~100-200ns of scalar-core time each
+        slab = t_ref[pl.ds(g * 8, 8), :]
         for u in range(8):
-            r = g * 8 + u
-            rowv = jnp.broadcast_to(t_ref[pl.ds(r, 1), :], shape)
+            rowv = jnp.broadcast_to(slab[u:u + 1, :], shape)
             # free per-lane dynamic gather along the lane axis
             rowc = jnp.take_along_axis(rowv, wlane, axis=1)
-            acc = jnp.where(wrow == r, rowc, acc)
+            acc = jnp.where(wrow == g * 8 + u, rowc, acc)
         return acc
 
     acc = jax.lax.fori_loop(0, rows_const // 8, body,
@@ -181,11 +182,11 @@ def _blocked_pull_kernel(rpg: int, g_ref, t_ref, src_ref, dst_ref, o_ref,
     bit_s = src & 31
 
     def body(gg, acc):
+        slab = t_ref[pl.ds(gg * 8, 8), :]
         for u in range(8):
-            r = gg * 8 + u
-            rowv = jnp.broadcast_to(t_ref[pl.ds(r, 1), :], shape)
+            rowv = jnp.broadcast_to(slab[u:u + 1, :], shape)
             rowc = jnp.take_along_axis(rowv, wlane_s, axis=1)
-            acc = jnp.where(wrow_l == r, rowc, acc)
+            acc = jnp.where(wrow_l == gg * 8 + u, rowc, acc)
         return acc
 
     acc = jax.lax.fori_loop(0, rpg // 8, body, jnp.zeros(shape, jnp.int32))
@@ -352,11 +353,11 @@ def _blocked_value_kernel(rpg_v: int, op: str, wmode: str, g_ref, t_ref,
     vlane = src & (LANE - 1)
 
     def body(gg, acc):
+        slab = t_ref[pl.ds(gg * 8, 8), :]
         for u in range(8):
-            r = gg * 8 + u
-            rowv = jnp.broadcast_to(t_ref[pl.ds(r, 1), :], shape)
+            rowv = jnp.broadcast_to(slab[u:u + 1, :], shape)
             rowc = jnp.take_along_axis(rowv, vlane, axis=1)
-            acc = jnp.where(vrow_l == r, rowc, acc)
+            acc = jnp.where(vrow_l == gg * 8 + u, rowc, acc)
         return acc
 
     val = jax.lax.fori_loop(0, rpg_v // 8, body,
@@ -460,10 +461,11 @@ def pull_vertex_reduce(values: jax.Array, graph, *, op: str = "sum",
 
 _SAMPLE_TILE_ROWS = 32        # samples per grid step = 32*128 = 4096
 _CHUNK_ROWS = 64              # DMA window chunk = 64*128 = 8192 values
+_NBUF = 4                     # DMA pipeline depth
 
 
 def _sample_kernel(arr_ref, pos_ref, o_ref, scratch, sem):
-    # scratch: (2, CHUNK_ROWS, 128) double buffer; sem: 2 DMA semaphores.
+    # scratch: (NBUF, CHUNK_ROWS, 128) ring buffer; sem: NBUF DMA sems.
     pos = pos_ref[...]                       # (TR,128) sorted positions
     shape = pos.shape
     chunk_vals = _CHUNK_ROWS * LANE
@@ -475,15 +477,20 @@ def _sample_kernel(arr_ref, pos_ref, o_ref, scratch, sem):
             arr_ref.at[pl.ds(c * _CHUNK_ROWS, _CHUNK_ROWS), :],
             scratch.at[slot], sem.at[slot])
 
-    start_dma(c0, 0).start()
+    # warm the pipeline NBUF deep (chunks along a tile are consumed in
+    # order; deep prefetch hides per-DMA latency)
+    for w in range(_NBUF - 1):
+        @pl.when(c0 + w <= c1)
+        def _():
+            start_dma(c0 + w, w % _NBUF).start()
 
     def visit(i, acc):
         c = c0 + i
-        slot = i % 2
+        slot = i % _NBUF
 
-        @pl.when(c + 1 <= c1)
+        @pl.when(c + (_NBUF - 1) <= c1)
         def _():
-            start_dma(c + 1, (i + 1) % 2).start()
+            start_dma(c + (_NBUF - 1), (i + (_NBUF - 1)) % _NBUF).start()
 
         start_dma(c, slot).wait()
         local = pos - c * chunk_vals
@@ -492,12 +499,17 @@ def _sample_kernel(arr_ref, pos_ref, o_ref, scratch, sem):
         lrow = jax.lax.shift_right_logical(lsafe, 7)
         llane = lsafe & (LANE - 1)
 
-        def rows(r, a):
-            rowv = jnp.broadcast_to(scratch[slot, pl.ds(r, 1), :], shape)
-            v = jnp.take_along_axis(rowv, llane, axis=1)
-            return jnp.where(ok & (lrow == r), v, a)
+        def rows(g, a):
+            # one dynamic slab read per 8 rows, then static sub-rows:
+            # scalar-core dynamic-slice addressing dominates row loops
+            slab = scratch[slot, pl.ds(g * 8, 8), :]
+            for u in range(8):
+                rowv = jnp.broadcast_to(slab[u:u + 1, :], shape)
+                v = jnp.take_along_axis(rowv, llane, axis=1)
+                a = jnp.where(ok & (lrow == g * 8 + u), v, a)
+            return a
 
-        return jax.lax.fori_loop(0, _CHUNK_ROWS, rows, acc)
+        return jax.lax.fori_loop(0, _CHUNK_ROWS // 8, rows, acc)
 
     acc = jax.lax.fori_loop(0, c1 - c0 + 1, visit,
                             jnp.zeros(shape, arr_ref.dtype))
@@ -517,8 +529,8 @@ def _sample_sorted_2d(arr2d: jax.Array, pos2d: jax.Array, *,
         out_specs=pl.BlockSpec((_SAMPLE_TILE_ROWS, LANE), lambda k: (k, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, LANE), arr2d.dtype),
-        scratch_shapes=[pltpu.VMEM((2, _CHUNK_ROWS, LANE), arr2d.dtype),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.VMEM((_NBUF, _CHUNK_ROWS, LANE), arr2d.dtype),
+                        pltpu.SemaphoreType.DMA((_NBUF,))],
         interpret=interpret,
     )(arr2d, pos2d)
 
@@ -582,11 +594,11 @@ def _gather_cumsum_kernel(rows_const: int, t_ref, i_ref, o_ref, carry_ref):
     shape = ii.shape
 
     def body(g, acc):
+        slab = t_ref[pl.ds(g * 8, 8), :]
         for u in range(8):
-            r = g * 8 + u
-            rowv = jnp.broadcast_to(t_ref[pl.ds(r, 1), :], shape)
+            rowv = jnp.broadcast_to(slab[u:u + 1, :], shape)
             rowc = jnp.take_along_axis(rowv, wlane, axis=1)
-            acc = jnp.where(wrow == r, rowc, acc)
+            acc = jnp.where(wrow == g * 8 + u, rowc, acc)
         return acc
 
     acc = jax.lax.fori_loop(0, rows_const // 8, body,

@@ -6,3 +6,7 @@ from .pr import pagerank_sharded, pagerank_sharded_device, ShardedPrResult  # no
 from .sssp import sssp_sharded, sssp_sharded_device, ShardedSsspResult  # noqa: F401
 from .cc import cc_sharded, cc_sharded_device, ShardedCcResult  # noqa: F401
 from .bc import bc_sharded, bc_sharded_device, ShardedBcResult  # noqa: F401
+from .comm import ghost_exchange  # noqa: F401
+from .replicate import (bc_batch, bfs_batch,  # noqa: F401
+                        BatchBcResult, BatchBfsResult)
+from .partition import boundary_fraction, label_propagation  # noqa: F401

@@ -5,13 +5,16 @@ The reference CC (``gunrock/app/cc/cc_enactor.cuh``, Soman hooking +
 pointer jumping as filter-only edge-list iterations) becomes, per
 superstep on each shard:
 
-  1. ``all_gather`` of the component vector (the activation exchange —
-     CC reads every neighbor's component, so the boundary set is the
-     whole vector; the reference ships this as vertex-associates)
+  1. boundary-only exchange of component ids (``ghost_exchange`` —
+     O(ghosts) on the ICI; the reference ships boundary
+     vertex-associates, ``enactor_helper.cuh:297-405``)
   2. hook: comp[u] <- min(comp[u], min over out-neighbors comp[v])
      — one sorted segmented min over the local CSR rows
-  3. pointer jump: comp <- comp[comp] (log-collapse of trees), also
-     over the gathered vector
+  3. local pointer jumping: comm-free full collapse through locally
+     owned representatives (remote representatives resolve across
+     supersteps via min-propagation over boundary edges; superstep
+     count is bounded by the diameter of the cross-shard component
+     contraction, typically a handful)
 
 Termination: ``psum`` of per-shard change counts == 0 (``All_Done``,
 ``enactor_helper.cuh:36``). Requires the symmetrized (undirected) graph,
@@ -31,6 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..enactor import Timer
 from ..graph.csr import CsrGraph
 from ..utils.info import make_info
+from .comm import ghost_exchange
 from .mesh import AXIS, make_mesh
 from ..ops.segment import row_reduce_sorted
 from .partition import PartitionedGraph, partition
@@ -45,21 +49,47 @@ class ShardedCcResult:
     info: dict
 
 
-def _make_cc_fn(pg: PartitionedGraph, *, axis: str, mesh: Mesh):
+def _make_cc_fn(pg: PartitionedGraph, *, comm_latency: int, axis: str,
+                mesh: Mesh):
     S = pg.shard_size
+    p = pg.num_shards
+    G = pg.fwd_ghost_cap
 
-    def shard_fn(row, col, vmask, max_iters):
+    def shard_fn(row, col_local, send_idx, vmask, max_iters):
         row = row.reshape(-1)            # (S+1,)
-        col = col.reshape(-1)            # (E_shard,) global dst ids
+        col_local = col_local.reshape(-1)  # (E_shard,) local-table dst ids
+        send_idx = send_idx.reshape(p, G)
         vmask = vmask.reshape(-1)        # (S,) real-vertex mask
         my_base = jax.lax.axis_index(axis).astype(jnp.int32) * S
 
-        lane = jnp.arange(col.shape[0], dtype=jnp.int32)
+        lane = jnp.arange(col_local.shape[0], dtype=jnp.int32)
         evalid = lane < row[-1]
-        col_safe = jnp.where(evalid, col, 0)
+        col_safe = jnp.where(evalid, col_local, 0)
 
         vid = my_base + jnp.arange(S, dtype=jnp.int32)
         comp0 = jnp.where(vmask, vid, jnp.int32(0x7FFFFFFF))
+
+        def local_collapse(comp):
+            """Pointer-jump through LOCALLY-owned representatives until
+            stable (no collectives: each shard collapses independently).
+            Remote representatives stay as-is; min-propagation through
+            boundary edges handles them across supersteps."""
+            def cond(c):
+                comp, changed = c
+                return changed
+
+            def body(c):
+                comp, _ = c
+                tgt = comp - my_base
+                islocal = (tgt >= 0) & (tgt < S)
+                j = jnp.where(islocal, comp[jnp.clip(tgt, 0, S - 1)], comp)
+                j = jnp.minimum(comp, j)
+                return j, jnp.any(j != comp)
+
+            from .mesh import pvary
+            comp, _ = jax.lax.while_loop(
+                cond, body, (comp, pvary(jnp.bool_(True), axis)))
+            return comp
 
         def cond(carry):
             comp, changed, it = carry
@@ -67,16 +97,17 @@ def _make_cc_fn(pg: PartitionedGraph, *, axis: str, mesh: Mesh):
 
         def body(carry):
             comp, _, it = carry
-            compG = jax.lax.all_gather(comp, axis, tiled=True)  # (p*S,)
+            # Boundary-only exchange of component ids (the reference ships
+            # vertex-associates for boundary vertices only,
+            # enactor_helper.cuh:297-405) — O(ghosts) on the ICI, not O(V).
+            table = ghost_exchange(axis, comp, send_idx,
+                                   comm_latency=comm_latency)
             # Hook: min over out-neighbors' components.
-            nbr = jnp.where(evalid, compG[col_safe], jnp.int32(0x7FFFFFFF))
+            nbr = jnp.where(evalid, table[col_safe], jnp.int32(0x7FFFFFFF))
             m = row_reduce_sorted(nbr, row, op="min")
             hooked = jnp.minimum(comp, m)
-            # Pointer jumping: comp <- comp[comp], twice per superstep
-            # (each application halves tree height).
-            j1 = jnp.where(vmask, compG[jnp.minimum(hooked, compG.shape[0] - 1)],
-                           hooked)
-            jumped = jnp.minimum(hooked, j1)
+            # Local pointer jumping (full collapse, comm-free).
+            jumped = local_collapse(hooked)
             changed_local = jnp.sum((jumped != comp).astype(jnp.int32))
             changed = jax.lax.psum(changed_local, axis)
             return jumped, changed, it + 1
@@ -85,27 +116,34 @@ def _make_cc_fn(pg: PartitionedGraph, *, axis: str, mesh: Mesh):
             cond, body, (comp0, jnp.int32(1), jnp.int32(0)))
         return comp, iters
 
-    in_specs = (P(AXIS, None), P(AXIS, None), P(AXIS), P())
+    in_specs = (P(AXIS, None), P(AXIS, None), P(AXIS, None, None), P(AXIS),
+                P())
     out_specs = (P(AXIS), P())
     return jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                                  out_specs=out_specs))
 
 
 def cc_sharded_device(pg: PartitionedGraph, *, mesh: Optional[Mesh] = None,
-                      vmask_new: jax.Array, max_iters: Optional[int] = None):
+                      vmask_new: jax.Array, max_iters: Optional[int] = None,
+                      comm_latency: int = 0):
+    if not pg.has_ghosts:
+        raise ValueError("sharded CC needs partition(with_ghosts=True)")
     if mesh is None:
         mesh = make_mesh(pg.num_shards)
     if max_iters is None:
-        max_iters = 4 * int(np.ceil(np.log2(max(pg.num_nodes, 2)))) + 16
-    fn = _make_cc_fn(pg, axis=AXIS, mesh=mesh)
-    return fn(pg.row_offsets, pg.col_indices,
+        # min-label propagation crosses >= one boundary edge per superstep
+        # (local collapse is free); bound by vertices, converge by psum.
+        max_iters = pg.num_nodes + 16
+    fn = _make_cc_fn(pg, comm_latency=comm_latency, axis=AXIS, mesh=mesh)
+    return fn(pg.row_offsets, pg.col_local, pg.fwd_ghost_send_idx,
               vmask_new.reshape(pg.num_shards, pg.shard_size),
               jnp.int32(max_iters))
 
 
 def cc_sharded(graph: CsrGraph, *, num_shards: int = None,
                partition_method: str = "random", seed: int = 0,
-               mesh: Optional[Mesh] = None) -> ShardedCcResult:
+               mesh: Optional[Mesh] = None,
+               comm_latency: int = 0) -> ShardedCcResult:
     """Partition + run CC across the mesh; components labeled by the
     minimum original vertex id present in each component."""
     timer = Timer()
@@ -115,13 +153,14 @@ def cc_sharded(graph: CsrGraph, *, num_shards: int = None,
 
     with timer.time("partition_ms"):
         pg, perm = partition(graph, num_shards, method=partition_method,
-                             seed=seed)
+                             seed=seed, with_ghosts=True)
         vmask = np.zeros(pg.v_global_pad, bool)
         vmask[perm] = True
 
     with timer.time("process_ms"):
         comp_new, iters = jax.block_until_ready(
-            cc_sharded_device(pg, mesh=mesh, vmask_new=jnp.asarray(vmask)))
+            cc_sharded_device(pg, mesh=mesh, vmask_new=jnp.asarray(vmask),
+                              comm_latency=comm_latency))
 
     # Back to original ids: component representative = min ORIGINAL id.
     comp_old = np.asarray(comp_new)[perm]          # rep in relabeled space
@@ -139,7 +178,11 @@ def cc_sharded(graph: CsrGraph, *, num_shards: int = None,
         extra={"num_shards": int(num_shards),
                "num_components": num_components,
                "num_iterations": int(iters),
-               "partition_method": partition_method},
+               "partition_method": partition_method,
+               "ghost_cap": int(pg.fwd_ghost_cap),
+               "comm_bytes_per_superstep":
+                   num_shards * num_shards * pg.fwd_ghost_cap * 4,
+               "comm_latency_rounds": comm_latency},
     )
     return ShardedCcResult(components=comp, num_components=num_components,
                            info=info)

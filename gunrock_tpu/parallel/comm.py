@@ -29,7 +29,29 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-__all__ = ["bucket_by_owner", "exchange"]
+from ..utils.track import inject_latency
+
+__all__ = ["bucket_by_owner", "exchange", "ghost_exchange"]
+
+
+def ghost_exchange(axis_name: str, values_local: jax.Array,
+                   send_idx: jax.Array, *, comm_latency: int = 0):
+    """Boundary-only value exchange: local ``(S,)`` values -> compact local
+    value table ``(S + p*ghost_cap,)`` addressed by ``csc_local``.
+
+    ``send_idx`` is this shard's ``(p, ghost_cap)`` producer table (row i =
+    local ids of my vertices that shard i reads). The all-to-all ships only
+    boundary values — the reference's PushNeighbor associate payloads
+    (``enactor_helper.cuh:297-405``), O(boundary) per superstep instead of
+    the O(V) all-gather. Receives land in fixed slots by construction
+    (consumer slot = position in the sorted ghost set G_ij), so the merge
+    is a concatenate, not a scatter.
+    """
+    send = values_local[send_idx]                      # (p, G)
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                              concat_axis=0, tiled=True)
+    recv = inject_latency(recv, comm_latency)
+    return jnp.concatenate([values_local, recv.reshape(-1)])
 
 
 def bucket_by_owner(owner: jax.Array, mask: jax.Array,

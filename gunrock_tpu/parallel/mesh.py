@@ -19,7 +19,13 @@ AXIS = "shard"  # graph-parallel axis name
 
 def pvary(x, axis: str):
     """Mark a constant-initialized loop carry as device-varying (shard_map
-    VMA check). Wraps the pcast/pvary API churn across jax versions."""
+    VMA check); no-op when already varying. Wraps the pcast/pvary API
+    churn across jax versions."""
+    try:
+        if axis in jax.typeof(x).vma:
+            return x
+    except (AttributeError, TypeError):
+        pass
     if hasattr(jax.lax, "pcast"):
         try:
             return jax.lax.pcast(x, to="varying")

@@ -44,9 +44,11 @@ __all__ = ["PartitionedGraph", "partition", "make_permutation"]
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["row_offsets", "col_indices", "edge_values",
-                 "csc_offsets", "csc_indices", "csc_edge_values"],
+                 "csc_offsets", "csc_indices", "csc_edge_values",
+                 "csc_local", "ghost_send_idx", "col_local",
+                 "fwd_ghost_send_idx"],
     meta_fields=["num_nodes", "num_edges", "num_shards", "shard_size",
-                 "e_shard_pad"],
+                 "e_shard_pad", "ghost_cap", "fwd_ghost_cap"],
 )
 @dataclasses.dataclass(frozen=True)
 class PartitionedGraph:
@@ -56,6 +58,17 @@ class PartitionedGraph:
     and stores the CSR rows of exactly those vertices; ``col_indices`` are
     *global relabeled* ids (possibly remote). Arrays are stacked on a
     leading shard axis for ``shard_map``.
+
+    Ghost tables (built by ``partition(with_ghosts=True)``) are the TPU
+    rebuild of the reference's forward/backward conversion tables
+    (``partitioner_base.cuh:295-340,357-383``): per (consumer ``i``,
+    producer ``j``) the sorted boundary set ``G_ij`` of j-owned vertices
+    appearing in i's in-edges. ``csc_local`` remaps ``csc_indices`` into a
+    compact per-shard value-table space ``[own 0..S) | ghosts of peer 0 |
+    ghosts of peer 1 | ...]`` so that an all-to-all of boundary values
+    lands every receive in its fixed slot — value-exchanging primitives
+    (PR/CC/BC) ship only O(boundary) values per superstep instead of
+    all-gathering O(V) vectors.
     """
 
     num_nodes: int        # original vertex count
@@ -69,10 +82,137 @@ class PartitionedGraph:
     csc_offsets: Optional[jax.Array]   # (p, S+1) inverse CSR of owned verts
     csc_indices: Optional[jax.Array]   # (p, e_shard_pad) global sources
     csc_edge_values: Optional[jax.Array]
+    # Boundary-exchange tables (None unless with_ghosts=True). The csc_*
+    # tables serve pull/backward reads of in-neighbor values; the fwd_*
+    # tables serve reads of out-neighbor values over col_indices (CC hook,
+    # BC backward sweep) — the reference's forward vs backward tables.
+    csc_local: Optional[jax.Array] = None       # (p, e_shard_pad) int32
+    ghost_send_idx: Optional[jax.Array] = None  # (p, p, ghost_cap) int32
+    ghost_cap: int = 0
+    col_local: Optional[jax.Array] = None       # (p, e_shard_pad) int32
+    fwd_ghost_send_idx: Optional[jax.Array] = None
+    fwd_ghost_cap: int = 0
 
     @property
     def v_global_pad(self) -> int:
         return self.num_shards * self.shard_size
+
+    @property
+    def has_ghosts(self) -> bool:
+        return self.csc_local is not None
+
+
+def _expand_frontier(row: np.ndarray, col: np.ndarray,
+                     frontier: np.ndarray) -> np.ndarray:
+    """All neighbors of ``frontier`` (with duplicates), fully vectorized:
+    the numpy equivalent of one CSR advance (multi-slice gather)."""
+    starts = row[frontier]
+    counts = row[frontier + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=col.dtype)
+    # offsets[i] = position of frontier[i]'s first edge in the output
+    offs = np.zeros(len(frontier), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offs[1:])
+    eids = np.arange(total, dtype=np.int64) + np.repeat(starts - offs, counts)
+    return col[eids]
+
+
+def _bfs_order(g: CsrGraph) -> np.ndarray:
+    """Vectorized BFS traversal order (per-level numpy advance; remaining
+    components are seeded together in one multi-source sweep)."""
+    n = g.num_nodes
+    row = g.row_offsets.astype(np.int64)
+    col = g.col_indices.astype(np.int64)
+    order = np.empty(n, dtype=np.int64)
+    seen = np.zeros(n, dtype=bool)
+    k = 0
+    root = int(g.out_degrees.argmax()) if n else 0
+    frontier = np.array([root], dtype=np.int64)
+    seen[root] = True
+    for phase in range(2):
+        while frontier.size:
+            order[k:k + frontier.size] = frontier
+            k += frontier.size
+            nbrs = _expand_frontier(row, col, frontier)
+            nbrs = nbrs[~seen[nbrs]]
+            if nbrs.size:
+                nbrs = np.unique(nbrs)
+            seen[nbrs] = True
+            frontier = nbrs
+        if phase == 0:
+            # Seed every remaining component at once (their traversals
+            # interleave, but each component's vertices stay contiguous
+            # enough for chunked sharding).
+            frontier = np.nonzero(~seen)[0]
+            seen[frontier] = True
+    return order[:k] if k == n else np.concatenate(
+        [order[:k], np.nonzero(~seen)[0]])
+
+
+def _group_rank(keys: np.ndarray) -> np.ndarray:
+    """rank of each element within its key group (vectorized groupby)."""
+    n = keys.shape[0]
+    srt = np.lexsort((np.arange(n), keys))
+    sk = keys[srt]
+    is_start = np.r_[True, sk[1:] != sk[:-1]]
+    group_start = np.maximum.accumulate(
+        np.where(is_start, np.arange(n), 0))
+    out = np.empty(n, dtype=np.int64)
+    out[srt] = np.arange(n) - group_start
+    return out
+
+
+def label_propagation(g: CsrGraph, num_shards: int, seed: int = 0,
+                      rounds: int = 8,
+                      slack: float = 1.05) -> np.ndarray:
+    """Balanced label-propagation partitioning (min-cut stand-in for the
+    reference's libmetis-backed partitioner, app/metisp — METIS itself is
+    not linkable here, so this plays its role: shrink boundary volume vs
+    random while keeping shards balanced).
+
+    Each round every vertex adopts the neighbor-majority shard, scored
+    with a Fennel-style occupancy penalty; moves into overfull shards are
+    rejected. All edge-scale work is ``np.bincount`` (vectorized).
+    """
+    n = g.num_nodes
+    p = num_shards
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    cap = int(slack * -(-n // p))
+    src = g.edge_sources().astype(np.int64)
+    dst = g.col_indices.astype(np.int64)
+    rng = np.random.default_rng(seed)
+    lab = rng.integers(0, p, n)
+    for _ in range(rounds):
+        # per-(vertex, shard) neighbor-label histogram
+        counts = np.bincount(src * p + lab[dst],
+                             minlength=n * p).reshape(n, p)
+        sizes = np.bincount(lab, minlength=p).astype(np.float64)
+        # occupancy penalty discourages piling into big shards
+        score = counts.astype(np.float64) * (1.0 - sizes / (2.0 * cap))
+        want = score.argmax(axis=1)
+        gain = score[np.arange(n), want] - score[np.arange(n), lab]
+        move = (want != lab) & (gain > 0)
+        # accept moves into each shard only up to its remaining capacity,
+        # highest-gain first (vectorized: rank moves per target shard)
+        cand = np.nonzero(move)[0]
+        if cand.size == 0:
+            break
+        ord_gain = cand[np.argsort(-gain[cand], kind="stable")]
+        tgt = want[ord_gain]
+        room = np.maximum(cap - sizes[tgt].astype(np.int64), 0)
+        rank_in_tgt = _group_rank(tgt)
+        ok = ord_gain[rank_in_tgt < room]
+        if ok.size == 0:
+            break
+        lab[ok] = want[ok]
+    return lab
+
+
+def _from_labels(lab: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(shard_of, slot) from an arbitrary per-vertex shard labeling."""
+    return lab.astype(np.int64), _group_rank(lab)
 
 
 def _assignment(g: CsrGraph, method: str, num_shards: int,
@@ -99,45 +239,36 @@ def _assignment(g: CsrGraph, method: str, num_shards: int,
     if method == "biasrandom":
         # Degree-balanced: snake-assign vertices by descending degree
         # (reference brp biases assignment by degree,
-        # app/brp/brp_partitioner.cuh).
+        # app/brp/brp_partitioner.cuh). Vectorized: shard = snake(rank),
+        # slot = occurrence index of that shard in the snake sequence.
         deg = g.out_degrees
         order = np.argsort(-deg, kind="stable")  # heavy vertices first
-        shard_of = np.empty(n, dtype=np.int64)
-        slot = np.empty(n, dtype=np.int64)
-        counts = np.zeros(num_shards, dtype=np.int64)
         cycle = np.arange(n) % (2 * num_shards)
         snake = np.where(cycle < num_shards, cycle,
                          2 * num_shards - 1 - cycle)
-        for rank, v in enumerate(order):
-            s = snake[rank]
-            shard_of[v] = s
-            slot[v] = counts[s]
-            counts[s] += 1
+        shard_of = np.empty(n, dtype=np.int64)
+        slot = np.empty(n, dtype=np.int64)
+        shard_of[order] = snake
+        slot[order] = _group_rank(snake)
         return shard_of, slot
-    if method in ("cluster", "metis"):
-        # Locality ordering: multi-source BFS traversal order keeps
-        # neighborhoods in the same shard (greedy clustering stand-in for
-        # app/cp and the libmetis-backed app/metisp).
-        row, col = g.row_offsets, g.col_indices
-        seen = np.zeros(n, dtype=bool)
-        order = np.empty(n, dtype=np.int64)
-        k = 0
-        for root in range(n):
-            if seen[root]:
-                continue
-            seen[root] = True
-            q = deque([root])
-            while q:
-                u = q.popleft()
-                order[k] = u
-                k += 1
-                for e in range(row[u], row[u + 1]):
-                    v = col[e]
-                    if not seen[v]:
-                        seen[v] = True
-                        q.append(v)
-        return from_order(order)
+    if method == "cluster":
+        # Locality ordering: BFS traversal order keeps neighborhoods in
+        # the same shard (greedy clustering, app/cp analogue).
+        return from_order(_bfs_order(g))
+    if method in ("metis", "lp"):
+        # Balanced label propagation (min-cut stand-in for app/metisp).
+        return _from_labels(label_propagation(g, num_shards, seed))
     raise ValueError(f"unknown partition method {method!r}")
+
+
+def boundary_fraction(g: CsrGraph, shard_of: np.ndarray) -> float:
+    """Fraction of edges crossing shards under ``shard_of`` — the metric
+    partitioners minimize (reference reports per-GPU in/out counters,
+    ``partitioner_base.cuh:473-484``)."""
+    if g.num_edges == 0:
+        return 0.0
+    cross = shard_of[g.edge_sources()] != shard_of[g.col_indices]
+    return float(np.count_nonzero(cross)) / g.num_edges
 
 
 def make_permutation(g: CsrGraph, method: str, num_shards: int,
@@ -154,10 +285,52 @@ def make_permutation(g: CsrGraph, method: str, num_shards: int,
     return shard_of * S + slot, S
 
 
+def _build_ghost_tables(csc_row: np.ndarray, csc_col: np.ndarray,
+                        num_shards: int, S: int):
+    """Per-(consumer, producer) boundary sets + local CSC remap.
+
+    Returns ``(csc_local, send_idx, ghost_cap)`` — see PartitionedGraph.
+    The reference equivalent: ghost renumbering + backward tables,
+    ``partitioner_base.cuh:295-340,357-383``.
+    """
+    p = num_shards
+    ghosts = [[None] * p for _ in range(p)]   # ghosts[i][j] = sorted G_ij
+    cap = 1
+    for i in range(p):
+        ne = int(csc_row[i, -1])
+        srcs = csc_col[i, :ne]
+        owner = srcs // S
+        remote = owner != i
+        ru, ro = srcs[remote], owner[remote]
+        for j in range(p):
+            gij = np.unique(ru[ro == j])
+            ghosts[i][j] = gij
+            cap = max(cap, len(gij))
+    ghost_cap = -(-cap // 128) * 128
+    send_idx = np.zeros((p, p, ghost_cap), np.int32)
+    csc_local = np.zeros_like(csc_col)
+    for i in range(p):
+        ne = int(csc_row[i, -1])
+        srcs = csc_col[i, :ne]
+        owner = srcs // S
+        local = srcs - i * S
+        for j in range(p):
+            gij = ghosts[i][j]
+            send_idx[j, i, :len(gij)] = (gij - j * S).astype(np.int32)
+            if j == i or len(gij) == 0:
+                continue
+            sel = owner == j
+            slot = np.searchsorted(gij, srcs[sel])
+            local[sel] = S + j * ghost_cap + slot
+        csc_local[i, :ne] = local.astype(np.int32)
+    return csc_local, send_idx, ghost_cap
+
+
 def partition(g: CsrGraph, num_shards: int, *, method: str = "random",
               seed: int = 0, with_csc: bool = False,
-              with_edge_values: bool = False) -> tuple[PartitionedGraph,
-                                                       np.ndarray]:
+              with_edge_values: bool = False,
+              with_ghosts: bool = False) -> tuple[PartitionedGraph,
+                                                  np.ndarray]:
     """Partition + relabel ``g`` into ``num_shards`` vertex shards.
 
     Returns ``(pg, perm)`` where ``perm[old] = new``; results computed in
@@ -201,11 +374,19 @@ def partition(g: CsrGraph, num_shards: int, *, method: str = "random",
     row, colx, valx = build_stacked(src_new, dst_new, vals)
 
     csc_row = csc_col = csc_val = None
-    if with_csc:
+    csc_local = send_idx = None
+    col_local = fwd_send_idx = None
+    ghost_cap = fwd_ghost_cap = 0
+    if with_csc or with_ghosts:
         orderT = np.lexsort((src_new, dst_new))
         csc_row, csc_col, csc_val = build_stacked(
             dst_new[orderT], src_new[orderT],
             vals[orderT] if vals is not None else None)
+        if with_ghosts:
+            csc_local, send_idx, ghost_cap = _build_ghost_tables(
+                csc_row, csc_col, num_shards, S)
+            col_local, fwd_send_idx, fwd_ghost_cap = _build_ghost_tables(
+                row, colx, num_shards, S)
 
     pg = PartitionedGraph(
         num_nodes=n,
@@ -220,5 +401,13 @@ def partition(g: CsrGraph, num_shards: int, *, method: str = "random",
         csc_indices=jnp.asarray(csc_col) if csc_col is not None else None,
         csc_edge_values=(jnp.asarray(csc_val)
                          if csc_val is not None else None),
+        csc_local=jnp.asarray(csc_local) if csc_local is not None else None,
+        ghost_send_idx=(jnp.asarray(send_idx)
+                        if send_idx is not None else None),
+        ghost_cap=ghost_cap,
+        col_local=jnp.asarray(col_local) if col_local is not None else None,
+        fwd_ghost_send_idx=(jnp.asarray(fwd_send_idx)
+                            if fwd_send_idx is not None else None),
+        fwd_ghost_cap=fwd_ghost_cap,
     )
     return pg, perm

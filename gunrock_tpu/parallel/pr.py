@@ -21,6 +21,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..enactor import Timer
 from ..graph.csr import CsrGraph
 from ..utils.info import make_info
+from .comm import ghost_exchange
 from .mesh import AXIS, make_mesh
 from ..ops.segment import row_reduce_sorted
 from .partition import PartitionedGraph, partition
@@ -37,18 +38,21 @@ class ShardedPrResult:
 
 
 def _make_pr_fn(pg: PartitionedGraph, *, damping: float, normalized: bool,
-                axis: str, mesh: Mesh):
+                comm_latency: int, axis: str, mesh: Mesh):
     S = pg.shard_size
+    p = pg.num_shards
     n = pg.num_nodes
+    G = pg.ghost_cap
     reset = (1.0 - damping) / n if normalized else (1.0 - damping)
 
-    def shard_fn(row, col, out_deg_local, vmask_local, max_iters,
-                 threshold):
+    def shard_fn(row, col_local, send_idx, out_deg_local, vmask_local,
+                 max_iters, threshold):
         row = row.reshape(-1)             # (S+1,) csc offsets of owned verts
-        col = col.reshape(-1)             # (E,)   global source ids
+        col_local = col_local.reshape(-1)  # (E,) local value-table ids
+        send_idx = send_idx.reshape(p, G)  # my producer table
         out_deg_local = out_deg_local.reshape(-1)   # (S,)
         vmask_local = vmask_local.reshape(-1)       # (S,) real-vertex mask
-        lane = jnp.arange(col.shape[0], dtype=jnp.int32)
+        lane = jnp.arange(col_local.shape[0], dtype=jnp.int32)
 
         inv_deg_local = jnp.where(out_deg_local > 0,
                                   1.0 / jnp.maximum(out_deg_local, 1.0), 0.0)
@@ -63,10 +67,11 @@ def _make_pr_fn(pg: PartitionedGraph, *, damping: float, normalized: bool,
         def body(carry):
             rank, _, it = carry
             contrib_local = rank * inv_deg_local
-            # Activation gather over ICI: full contribution vector.
-            contrib = jax.lax.all_gather(contrib_local, axis,
-                                         tiled=True)      # (p*S,)
-            vals = contrib[jnp.where(lane < row[-1], col, 0)]
+            # Boundary-only exchange (reference ships boundary associates,
+            # enactor_helper.cuh:297-405): O(ghosts) on the ICI, not O(V).
+            table = ghost_exchange(axis, contrib_local, send_idx,
+                                   comm_latency=comm_latency)
+            vals = table[jnp.where(lane < row[-1], col_local, 0)]
             incoming = row_reduce_sorted(vals, row, op="sum")
             new_rank = jnp.where(vmask_local, reset + damping * incoming,
                                  0.0)
@@ -79,7 +84,8 @@ def _make_pr_fn(pg: PartitionedGraph, *, damping: float, normalized: bool,
             cond, body, (rank0, jnp.int32(1), jnp.int32(0)))
         return rank, iters
 
-    in_specs = (P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS), P(), P())
+    in_specs = (P(AXIS, None), P(AXIS, None), P(AXIS, None, None), P(AXIS),
+                P(AXIS), P(), P())
     out_specs = (P(AXIS), P())
     return jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                                  out_specs=out_specs))
@@ -89,14 +95,15 @@ def pagerank_sharded_device(pg: PartitionedGraph, *, mesh: Optional[Mesh],
                             out_degrees_new: jax.Array,
                             vmask_new: jax.Array, damping: float = 0.85,
                             threshold: float = 1e-6, max_iters: int = 50,
-                            normalized: bool = True):
-    if pg.csc_offsets is None:
-        raise ValueError("sharded PageRank needs partition(with_csc=True)")
+                            normalized: bool = True,
+                            comm_latency: int = 0):
+    if not pg.has_ghosts:
+        raise ValueError("sharded PageRank needs partition(with_ghosts=True)")
     if mesh is None:
         mesh = make_mesh(pg.num_shards)
     fn = _make_pr_fn(pg, damping=float(damping), normalized=normalized,
-                     axis=AXIS, mesh=mesh)
-    return fn(pg.csc_offsets, pg.csc_indices,
+                     comm_latency=comm_latency, axis=AXIS, mesh=mesh)
+    return fn(pg.csc_offsets, pg.csc_local, pg.ghost_send_idx,
               out_degrees_new.reshape(pg.num_shards, pg.shard_size),
               vmask_new.reshape(pg.num_shards, pg.shard_size),
               jnp.int32(max_iters), jnp.float32(threshold))
@@ -106,7 +113,8 @@ def pagerank_sharded(graph: CsrGraph, *, num_shards: int = None,
                      partition_method: str = "random", seed: int = 0,
                      mesh: Optional[Mesh] = None, damping: float = 0.85,
                      threshold: float = 1e-6, max_iters: int = 50,
-                     normalized: bool = True) -> ShardedPrResult:
+                     normalized: bool = True,
+                     comm_latency: int = 0) -> ShardedPrResult:
     timer = Timer()
     if mesh is None:
         mesh = make_mesh(num_shards)
@@ -114,7 +122,7 @@ def pagerank_sharded(graph: CsrGraph, *, num_shards: int = None,
 
     with timer.time("partition_ms"):
         pg, perm = partition(graph, num_shards, method=partition_method,
-                             seed=seed, with_csc=True)
+                             seed=seed, with_csc=True, with_ghosts=True)
         v_pad = pg.v_global_pad
         out_deg_new = np.zeros(v_pad, np.float32)
         out_deg_new[perm] = np.diff(graph.row_offsets).astype(np.float32)
@@ -126,15 +134,21 @@ def pagerank_sharded(graph: CsrGraph, *, num_shards: int = None,
             pg, mesh=mesh, out_degrees_new=jnp.asarray(out_deg_new),
             vmask_new=jnp.asarray(vmask_new), damping=damping,
             threshold=threshold, max_iters=max_iters,
-            normalized=normalized))
+            normalized=normalized, comm_latency=comm_latency))
 
     ranks_old = np.asarray(rank)[perm]
     order = np.argsort(-ranks_old, kind="stable").astype(np.int32)
+    # boundary-exchange volume: p*ghost_cap values per shard per superstep
+    bytes_per_step = num_shards * num_shards * pg.ghost_cap * 4
     info = make_info(
         primitive="pagerank_sharded", graph=graph, timer=timer,
         edges_visited=graph.num_edges * int(iters),
         extra={"num_shards": int(num_shards), "damping": damping,
                "num_iterations": int(iters),
-               "partition_method": partition_method},
+               "partition_method": partition_method,
+               "ghost_cap": int(pg.ghost_cap),
+               "comm_bytes_per_superstep": int(bytes_per_step),
+               "comm_bytes": int(bytes_per_step) * int(iters),
+               "comm_latency_rounds": comm_latency},
     )
     return ShardedPrResult(ranks=ranks_old, node_ids=order, info=info)

@@ -134,10 +134,18 @@ def sssp_sharded(graph: CsrGraph, src: int = 0, *, num_shards: int = None,
         pg, perm = partition(graph, num_shards, method=partition_method,
                              seed=seed, with_edge_values=True)
     with timer.time("process_ms"):
-        dist, iters, ovf = jax.block_until_ready(
-            sssp_sharded_device(pg, int(perm[src]), mesh=mesh,
-                                queue_sizing=queue_sizing,
-                                in_sizing=in_sizing, max_iters=max_iters))
+        # Overflow auto-retry with doubled sizing (reference Check_Size
+        # regrow, enactor_helper.cuh:103-138); sizing 1.0 cannot overflow.
+        qs, ins = queue_sizing, in_sizing
+        while True:
+            dist, iters, ovf = jax.block_until_ready(
+                sssp_sharded_device(pg, int(perm[src]), mesh=mesh,
+                                    queue_sizing=qs,
+                                    in_sizing=ins, max_iters=max_iters))
+            if not bool(ovf) or (qs >= 1.0 and ins >= 1.0):
+                break
+            qs = min(qs * 2.0, 1.0)
+            ins = min(ins * 2.0, 1.0)
 
     dist_old = np.asarray(dist)[perm]
     degs = np.diff(graph.row_offsets).astype(np.int64)

@@ -101,3 +101,15 @@ def test_bfs_chunked_enactment(road_like):
     got = jax.block_until_ready(bfs_device(dg, 0, chunk_iters=7))
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
     assert int(got[2].iteration) == int(ref[2].iteration)
+
+
+def test_bfs_instrumented_per_iteration_records(rmat_small):
+    res = gt.bfs(rmat_small, src=0, direction_optimized=True,
+                 instrumented=True)
+    from oracles import cpu_bfs
+    np.testing.assert_array_equal(res.labels, cpu_bfs(rmat_small, 0))
+    rec = res.info["per_iteration"]
+    assert len(rec) == res.info["search_depth"] or \
+        len(rec) == res.info["search_depth"] + 1
+    assert all(r["ms"] > 0 for r in rec)
+    assert any(r["pull"] for r in rec)  # scale-free: pull must engage

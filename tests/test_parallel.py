@@ -157,3 +157,125 @@ def test_bc_sharded_matches_single_chip(chesapeake):
     single = gt.bc(chesapeake, chesapeake.largest_degree_vertex())
     np.testing.assert_allclose(res.bc_values, single.bc_values,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_lp_partitioner_beats_random_on_boundary(rmat_small):
+    from gunrock_tpu.parallel.partition import (_assignment,
+                                                boundary_fraction)
+    lp, _ = _assignment(rmat_small, "metis", 8, 0)
+    rnd, _ = _assignment(rmat_small, "random", 8, 0)
+    bf_lp = boundary_fraction(rmat_small, lp)
+    bf_rnd = boundary_fraction(rmat_small, rnd)
+    assert bf_lp < bf_rnd
+    # balance: no shard more than ~15% over the even split
+    sizes = np.bincount(lp, minlength=8)
+    assert sizes.max() <= 1.15 * -(-rmat_small.num_nodes // 8)
+
+
+def test_partitioners_vectorized_slots_dense(rmat_small):
+    from gunrock_tpu.parallel.partition import _assignment
+    for method in ("biasrandom", "cluster", "metis"):
+        shard_of, slot = _assignment(rmat_small, method, 4, 0)
+        for s in range(4):
+            sl = np.sort(slot[shard_of == s])
+            np.testing.assert_array_equal(sl, np.arange(len(sl)))
+
+
+def test_bfs_sharded_overflow_retries_to_completion(rmat_small):
+    # Tiny sizing forces per-peer overflow; the auto-retry must still
+    # return complete oracle-equal labels (never silent partial results).
+    res = bfs_sharded(rmat_small, src=0, num_shards=4,
+                      queue_sizing=0.01, in_sizing=0.01)
+    np.testing.assert_array_equal(res.labels, cpu_bfs(rmat_small, 0))
+    assert not res.info["frontier_overflow"]
+
+
+def test_sssp_sharded_overflow_retries_to_completion():
+    g = gt.io.rmat(scale=9, edge_factor=6, seed=11, undirected=True,
+                   random_edge_values=True)
+    res = sssp_sharded(g, src=0, num_shards=4, queue_sizing=0.02,
+                       in_sizing=0.02)
+    np.testing.assert_allclose(res.distances, cpu_sssp(g, 0), rtol=1e-5)
+    assert not res.info["frontier_overflow"]
+
+
+@pytest.mark.parametrize("num_shards", [2, 8])
+def test_bfs_sharded_direction_optimized(rmat_small, num_shards):
+    res = bfs_sharded(rmat_small, src=0, num_shards=num_shards,
+                      direction_optimized=True)
+    np.testing.assert_array_equal(res.labels, cpu_bfs(rmat_small, 0))
+    # scale-free graph: the vote must actually take pull iterations
+    assert res.info["pull_iterations"] >= 1
+    assert len(res.info["direction_trace"]) == res.info["num_iterations"]
+
+
+def test_bfs_sharded_do_matches_single_chip_bitwise(rmat_small):
+    multi = bfs_sharded(rmat_small, src=2, num_shards=8,
+                        direction_optimized=True)
+    single = gt.bfs(rmat_small, src=2, direction_optimized=True)
+    np.testing.assert_array_equal(multi.labels, single.labels)
+
+
+def test_bfs_sharded_do_preds_valid(rmat_small):
+    res = bfs_sharded(rmat_small, src=1, num_shards=4,
+                      direction_optimized=True, mark_preds=True)
+    expected = cpu_bfs(rmat_small, 1)
+    np.testing.assert_array_equal(res.labels, expected)
+    row, col = rmat_small.row_offsets, rmat_small.col_indices
+    for v in range(rmat_small.num_nodes):
+        if res.labels[v] <= 0:
+            continue
+        pv = res.preds[v]
+        assert pv >= 0, v
+        assert res.labels[pv] == res.labels[v] - 1
+        assert v in col[row[pv]:row[pv + 1]]
+
+
+def test_bfs_sharded_comm_bytes_and_latency_knob(rmat_small):
+    base = bfs_sharded(rmat_small, src=0, num_shards=4,
+                       direction_optimized=True)
+    assert base.info["comm_bytes"] > 0
+    slow = bfs_sharded(rmat_small, src=0, num_shards=4,
+                       direction_optimized=True, comm_latency=50)
+    np.testing.assert_array_equal(slow.labels, base.labels)
+    assert slow.info["comm_latency_rounds"] == 50
+
+
+def test_ghost_tables_boundary_smaller_than_v(rmat_small):
+    # the point of boundary-only exchange: ghosts per peer < shard size
+    pg, _ = partition(rmat_small, 8, method="cluster", with_ghosts=True)
+    assert pg.has_ghosts
+    assert pg.ghost_cap <= pg.shard_size
+    # csc_local indexes stay inside the compact local table
+    cl = np.asarray(pg.csc_local)
+    assert cl.max() < pg.shard_size + 8 * pg.ghost_cap
+
+
+def test_pr_comm_bytes_reported(rmat_small):
+    res = pagerank_sharded(rmat_small, num_shards=4, max_iters=10)
+    assert res.info["comm_bytes_per_superstep"] > 0
+    # boundary exchange must beat the all-gather volume p*S*4 per shard
+    pg, _ = partition(rmat_small, 4, method="random", with_ghosts=True)
+    allgather = 4 * pg.shard_size * 4 * 4  # p shards each gather p*S vals
+    assert res.info["comm_bytes_per_superstep"] <= allgather
+
+
+def test_bfs_batch_replicated_matches_oracle(rmat_small):
+    from gunrock_tpu.parallel import bfs_batch
+    sources = [0, 3, 7, 11, 19]
+    res = bfs_batch(rmat_small, sources, queue_sizing=1.0)
+    assert res.labels.shape == (5, rmat_small.num_nodes)
+    for i, s in enumerate(sources):
+        np.testing.assert_array_equal(res.labels[i], cpu_bfs(rmat_small, s))
+    assert res.info["partition_method"] == "duplicate"
+
+
+def test_bc_batch_replicated_matches_sum_of_singles(chesapeake):
+    from gunrock_tpu.parallel import bc_batch
+    sources = [0, 5, 9]
+    res = bc_batch(chesapeake, sources)
+    expected = np.zeros(chesapeake.num_nodes, np.float64)
+    for s in sources:
+        expected += gt.bc(chesapeake, s).bc_values
+    np.testing.assert_allclose(res.bc_values, expected, rtol=1e-4,
+                               atol=1e-5)

@@ -46,8 +46,11 @@ def main():
     import numpy as np
     import gunrock_tpu as gt
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".bench_cache", f"rmat_n{SCALE}_e{EF}.csr.npz")
+    cdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".bench_cache")
+    cache = os.path.join(cdir, f"rmat_n{SCALE}_e{EF}.csr.npz")
+    blocked_cache = os.path.join(cdir, f"rmat_n{SCALE}_e{EF}.blocked.npz")
+    blockedv_cache = os.path.join(cdir, f"rmat_n{SCALE}_e{EF}.blockedv.npz")
     if os.path.exists(cache):
         g = gt.CsrGraph.read_binary(cache)
     else:
@@ -63,7 +66,8 @@ def main():
 
     if want("bfs"):
         from gunrock_tpu.models.bfs import bfs_device
-        dg = gt.to_device(g, with_csc=True, with_blocked_csc=True)
+        dg = gt.to_device(g, with_csc=True, with_blocked_csc=True,
+                          blocked_cache=blocked_cache)
         out = jax.block_until_ready(
             bfs_device(dg, src, direction_optimized=True))
         reached = np.asarray(out[0])[: g.num_nodes] >= 0
@@ -77,7 +81,8 @@ def main():
         from gunrock_tpu.models.sssp import sssp_device
         g.random_edge_values(seed=7)
         dgw = gt.to_device(g, with_edge_values=True,
-                           with_blocked_values=True)
+                           with_blocked_values=True,
+                           blocked_cache=blockedv_cache)
         delta = 32.0 * float(np.mean(g.edge_values))
         out = jax.block_until_ready(
             sssp_device(dgw, src, mode="bellman", delta=delta))
@@ -91,7 +96,8 @@ def main():
 
     if want("pr"):
         from gunrock_tpu.models.pr import pagerank_device
-        dgc = gt.to_device(g, with_csc=True, with_blocked_values=True)
+        dgc = gt.to_device(g, with_csc=True, with_blocked_values=True,
+                           blocked_cache=blockedv_cache)
         out = jax.block_until_ready(pagerank_device(dgc, max_iters=20,
                                                     threshold=0.0))
         iters = int(out[2].iteration)
@@ -111,7 +117,8 @@ def main():
     if want("cc"):
         from gunrock_tpu.models.cc import cc_device
         dge = gt.to_device(g, with_edge_src=True,
-                           with_blocked_values=True)
+                           with_blocked_values=True,
+                           blocked_cache=blockedv_cache)
         out = jax.block_until_ready(cc_device(dge))
         ms = best_ms(lambda: cc_device(dge))
         emit(f"cc_rmat{SCALE}", ms, E, {"iters": int(out[2].iteration)})
@@ -119,7 +126,8 @@ def main():
 
     if want("bc"):
         from gunrock_tpu.models.bc import bc_device
-        dgb = gt.to_device(g, with_blocked_values=True)
+        dgb = gt.to_device(g, with_blocked_values=True,
+                           blocked_cache=blockedv_cache)
         out = jax.block_until_ready(bc_device(dgb, src))
         ms = best_ms(lambda: bc_device(dgb, src))
         emit(f"bc_rmat{SCALE}", ms, 2 * E)

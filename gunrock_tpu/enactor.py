@@ -99,7 +99,9 @@ def dispatch_by_size(size: jax.Array, caps: Sequence[int],
     if len(caps) == 1:
         return make_branch(caps[0])(operand)
     bounds = jnp.asarray(caps[:-1], dtype=size.dtype)
-    idx = jnp.searchsorted(bounds, size, side="left")
+    # compare-sum, not searchsorted: XLA lowers searchsorted to a scalar
+    # while loop on TPU even for a handful of bounds.
+    idx = jnp.sum((size > bounds).astype(jnp.int32))
     return jax.lax.switch(idx, [make_branch(c) for c in caps], operand)
 
 

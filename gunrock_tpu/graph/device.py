@@ -45,8 +45,8 @@ def round_up(x: int, m: int = LANE) -> int:
         "row_offsets", "col_indices", "edge_values", "edge_src",
         "csc_offsets", "csc_indices", "csc_edge_values", "csc_edge_dst",
         "bcsc_src", "bcsc_dst", "bcsc_group_of_block", "bcsc_sample_pos",
-        "bcsc_sample_valid", "bcsc_val", "bcsc_vsample_pos",
-        "bcsc_vsample_valid",
+        "bcsc_sample_valid", "bcsc_wcell_pos", "bcsc_val",
+        "bcsc_vsample_pos", "bcsc_vsample_valid",
     ],
     meta_fields=["num_nodes", "num_edges", "v_pad", "e_pad",
                  "bcsc_groups", "bcsc_rows_per_group", "bcsc_block_rows"],
@@ -89,6 +89,11 @@ class DeviceGraph:
     bcsc_group_of_block: Optional[jax.Array] = None  # (E'/(br*128),) int32
     bcsc_sample_pos: Optional[jax.Array] = None     # (K, v_pad//32) int32
     bcsc_sample_valid: Optional[jax.Array] = None   # (K, v_pad//32) bool
+    # Flat nondecreasing word-last CELL indices (invalid slots carry the
+    # previous valid cell forward) — pull_reached_words slices the
+    # cell-last array and streams all K*nwords samples through one dense
+    # sample_sorted DMA pass instead of K serial XLA gathers.
+    bcsc_wcell_pos: Optional[jax.Array] = None      # (K*v_pad//32,) int32
     # Value-kernel extensions: weights in blocked order, per-(group,
     # vertex) sample positions for segmented value reductions.
     bcsc_val: Optional[jax.Array] = None            # (E',) float32
@@ -147,16 +152,50 @@ def _bitmask_rows(v_pad: int) -> int:
     return ((rows + 7) // 8) * 8
 
 
+def _word_align_group(ds_k: np.ndarray, ss_k: np.ndarray,
+                      ev_k, sentinel_src: int):
+    """Pad each destination word's edge run to a multiple of 32 slots.
+
+    Word results then end at cell-aligned (31 mod 32) positions, so the
+    pull consumer extracts them with one strided slice + a dense sorted
+    sample instead of a sparse edge-scale gather. Pad slots carry the
+    word's own (maximal) dst — the segmented scan keys stay sorted — and
+    an out-of-range source, so both the bitmask kernel (hit=0) and the
+    value kernel (identity) ignore them.
+    """
+    c = ds_k.shape[0]
+    if c == 0:
+        return ds_k.astype(np.int64), ss_k, ev_k
+    wid = ds_k >> 5
+    uw, first_idx, wcounts = np.unique(wid, return_index=True,
+                                       return_counts=True)
+    padded_counts = ((wcounts + 31) // 32) * 32
+    offs = np.zeros(len(uw) + 1, np.int64)
+    np.cumsum(padded_counts, out=offs[1:])
+    word_rank = np.repeat(np.arange(len(uw)), wcounts)
+    pos = offs[word_rank] + (np.arange(c) - first_idx[word_rank])
+    total = int(offs[-1])
+    out_ds = np.repeat(uw * 32 + 31, padded_counts)
+    out_ss = np.full(total, sentinel_src, np.int64)
+    out_ds[pos] = ds_k
+    out_ss[pos] = ss_k
+    out_ev = None
+    if ev_k is not None:
+        out_ev = np.zeros(total, np.float32)
+        out_ev[pos] = ev_k
+    return out_ds, out_ss, out_ev
+
+
 def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int,
                       with_vertex_samples: bool = False, K: int = 16):
     """Blocked-CSC edge layout for the pull kernel.
 
     Edges grouped by source block (K groups), sorted by (dst, src) per
-    group, padded per group to a block multiple. Also emits the static
-    per-(group, word) sample positions: the inclusive segmented-OR value
-    at the last edge of word w in group k IS the packed reach word — the
-    kernel's consumers read results at these positions instead of doing
-    vertex-scale boundary gathers.
+    group, word-aligned (every destination word's run padded to 32-slot
+    cells), padded per group to a block multiple. Emits the static
+    per-(group, word) result positions: the inclusive segmented-OR value
+    at the last slot of word w in group k IS the packed reach word, and
+    word-last slots sit at cell boundaries by construction.
 
     ``K`` balances the kernel's two costs: in-VMEM gather rounds per block
     scale as 1/K (smaller table slice), result sampling scales as K·V.
@@ -168,6 +207,9 @@ def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int,
     v_per_group = rpg * 128 * 32
     nwords = R * 128
     block_edges = block_rows * 128
+    # Out-of-range source: every kernel's table-row loop misses it, for
+    # any group — pad slots contribute hit=0 / the reduce identity.
+    SENT = R * 128 * 32
 
     src = g.edge_sources().astype(np.int64)   # CSR order; regroup below
     dst = g.col_indices.astype(np.int64)
@@ -176,9 +218,19 @@ def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int,
     group = np.minimum(src // v_per_group, K - 1)
     order = np.lexsort((src, dst, group))
     gs, ss, ds = group[order], src[order], dst[order]
+    ev = g.edge_values.astype(np.float32)[order] \
+        if g.edge_values is not None else None
 
     counts = np.bincount(gs, minlength=K)
-    padded = -(-np.maximum(counts, 1) // block_edges) * block_edges
+    reads = np.zeros(K + 1, np.int64)
+    np.cumsum(counts, out=reads[1:])
+    aligned = [_word_align_group(ds[reads[k]:reads[k + 1]],
+                                 ss[reads[k]:reads[k + 1]],
+                                 None if ev is None else
+                                 ev[reads[k]:reads[k + 1]], SENT)
+               for k in range(K)]
+    acounts = np.array([a[0].shape[0] for a in aligned], np.int64)
+    padded = -(-np.maximum(acounts, 1) // block_edges) * block_edges
     total = int(padded.sum())
     starts = np.zeros(K + 1, np.int64)
     np.cumsum(padded, out=starts[1:])
@@ -189,37 +241,33 @@ def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int,
     sample_valid = np.zeros((K, nwords), bool)
     bval = None
     vs = None
-    if g.edge_values is not None:
+    if ev is not None:
         bval = np.zeros(total, np.float32)
-        ev = g.edge_values.astype(np.float32)[order]
     if with_vertex_samples:
         vpos = np.zeros((K, v_pad), np.int32)
         vvalid = np.zeros((K, v_pad), bool)
     pad_wid = nwords - 1
-    read = 0
     for k in range(K):
-        c = int(counts[k])
+        ds_k, ss_k, ev_k = aligned[k]
+        c = int(acounts[k])
         lo = int(starts[k])
-        bsrc[lo:lo + c] = ss[read:read + c]
-        bdst[lo:lo + c] = ds[read:read + c]
-        # out-of-group source => gather always misses => hit 0
-        bsrc[lo + c:starts[k + 1]] = v_pad - 1 if k == 0 else 0
+        bsrc[lo:lo + c] = ss_k
+        bdst[lo:lo + c] = ds_k
+        bsrc[lo + c:starts[k + 1]] = SENT
         bdst[lo + c:starts[k + 1]] = pad_wid * 32 + 31
         if bval is not None:
-            bval[lo:lo + c] = ev[read:read + c]
+            bval[lo:lo + c] = ev_k
         if c:
-            wids = (ds[read:read + c] >> 5).astype(np.int64)
-            # last edge position of each distinct word in this group
+            wids = (ds_k >> 5).astype(np.int64)
+            # last slot of each distinct word: cell-aligned (31 mod 32)
             last = np.nonzero(np.r_[wids[1:] != wids[:-1], True])[0]
             sample_pos[k, wids[last]] = (lo + last).astype(np.int32)
             sample_valid[k, wids[last]] = True
             if with_vertex_samples:
-                dk = ds[read:read + c]
-                vlast = np.nonzero(np.r_[dk[1:] != dk[:-1], True])[0]
-                keep = dk[vlast] < v_pad
-                vpos[k, dk[vlast[keep]]] = (lo + vlast[keep]).astype(np.int32)
-                vvalid[k, dk[vlast[keep]]] = True
-        read += c
+                vlast = np.nonzero(np.r_[ds_k[1:] != ds_k[:-1], True])[0]
+                keep = ds_k[vlast] < v_pad
+                vpos[k, ds_k[vlast[keep]]] = (lo + vlast[keep]).astype(np.int32)
+                vvalid[k, ds_k[vlast[keep]]] = True
 
     if with_vertex_samples:
         # Sorted fill for invalid entries: carry the previous valid
@@ -234,12 +282,21 @@ def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int,
     group_of_block = np.repeat(np.arange(K, dtype=np.int32),
                                (padded // block_edges).astype(np.int64))
     assert group_of_block.shape[0] == num_blocks
+    # Monotone word-CELL vector: word-last slots are cell-aligned
+    # (31 mod 32), so the consumer samples the (E'/32,) cell-last array
+    # densely; invalid slots carry the previous valid cell forward so
+    # sample_sorted's DMA windows advance monotonically.
+    wflat = sample_pos.reshape(-1)
+    widx = np.where(sample_valid.reshape(-1), np.arange(wflat.size), 0)
+    np.maximum.accumulate(widx, out=widx)
+    wcell_pos = (wflat[widx] >> 5).astype(np.int32)
     out = dict(
         bcsc_src=jnp.asarray(bsrc),
         bcsc_dst=jnp.asarray(bdst),
         bcsc_group_of_block=jnp.asarray(group_of_block),
         bcsc_sample_pos=jnp.asarray(sample_pos),
         bcsc_sample_valid=jnp.asarray(sample_valid),
+        bcsc_wcell_pos=jnp.asarray(wcell_pos),
         bcsc_groups=K,
         bcsc_rows_per_group=rpg,
         bcsc_block_rows=block_rows,
@@ -300,7 +357,10 @@ def to_device(
 
     blocked = {}
     if with_blocked_csc or with_blocked_values:
-        br = blocked_block_rows or (512 if e_pad >= (1 << 22) else 8)
+        # 1024-row blocks ≈ 131K edges/grid-step: grid-step overhead
+        # (~6µs each) would otherwise dominate the bitmask pull kernel
+        # (rows_per_group is small, so per-block compute is light).
+        br = blocked_block_rows or (1024 if e_pad >= (1 << 22) else 8)
         built = None
         if blocked_cache and os.path.exists(blocked_cache):
             # The blocked layout is expensive to build (host lexsort over
@@ -308,6 +368,7 @@ def to_device(
             with np.load(blocked_cache) as z:
                 if (int(z["block_rows"]) == br
                         and int(z["groups"]) == blocked_groups
+                        and "bcsc_wcell_pos" in z.files
                         and bool(z["has_vsamples"]) >= with_blocked_values):
                     built = {k: jnp.asarray(z[k]) for k in z.files
                              if k.startswith("bcsc_")}

@@ -87,22 +87,43 @@ def _frontier_degree_sum(graph: DeviceGraph, frontier: jax.Array,
     return jnp.sum(deg)
 
 
+def _single_source_step(graph: DeviceGraph, cap: int, mark_preds: bool,
+                        state: _State, frontier0: jax.Array,
+                        depth: jax.Array):
+    """Fast path for a 1-vertex frontier (every traversal's first
+    iteration; the reference's first advance is equally degenerate but
+    pays full kernel-launch machinery). The vertex's CSR run is one
+    contiguous dynamic_slice — no rank assignment, no dedup claims, no
+    compaction. The frontier queue is left unmaterialized
+    (``fvalid=False``); a following push iteration lazily rebuilds it
+    from the label mask, a following pull ignores it anyway."""
+    v = frontier0[0]
+    e_pad = graph.e_pad
+    start = graph.row_offsets[v]
+    deg = graph.row_offsets[v + 1] - start
+    off = jnp.minimum(start, e_pad - cap)
+    nbr = jax.lax.dynamic_slice(graph.col_indices, (off,), (cap,))
+    j = jnp.arange(cap, dtype=jnp.int32)
+    lo = start - off
+    # Multi-edges may duplicate lanes; duplicate label/pred writes carry
+    # identical values and n/m_f merely overcount them (stats only).
+    in_run = (j >= lo) & (j < lo + deg)
+    is_new = in_run & (state.labels[jnp.where(in_run, nbr, 0)] == INVALID)
+    labels = scatter_set(state.labels, nbr, depth, mask=is_new)
+    preds = state.preds
+    if mark_preds:
+        preds = scatter_set(preds, nbr, v, mask=is_new)
+    n = jnp.sum(is_new.astype(jnp.int32))
+    deg_dst = graph.row_offsets[nbr + 1] - graph.row_offsets[nbr]
+    m_f_next = jnp.sum(jnp.where(is_new, deg_dst, 0))
+    return (labels, preds, state.frontier, n, m_f_next,
+            jnp.bool_(False), deg, deg > cap)
+
+
 def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool,
                       use_pallas: bool = False, may_rebuild: bool = True):
     def make(cap: int):
-        def step(state: _State):
-            depth = state.stats.iteration + 1
-            cur = state.stats.iteration
-            if may_rebuild:
-                # Lazy queue rebuild after pull iterations (the pull step
-                # leaves the frontier as the label mask).
-                frontier0, n0 = jax.lax.cond(
-                    state.fvalid,
-                    lambda: (state.frontier, state.n),
-                    lambda: frontier_from_mask(state.labels == cur, fcap),
-                )
-            else:
-                frontier0, n0 = state.frontier, state.n
+        def general(state: _State, frontier0, n0, depth):
             rebuild_ovf = n0 > fcap      # queue too small for this frontier
             n0 = jnp.minimum(n0, fcap)
             # Input-side laddering: the expansion must not scan the
@@ -140,6 +161,28 @@ def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool,
             overflow = (ex.total > cap) | (n > fcap) | rebuild_ovf
             return (labels, preds, frontier, n, m_f_next,
                     jnp.bool_(True), ex.total, overflow)
+
+        def step(state: _State):
+            depth = state.stats.iteration + 1
+            cur = state.stats.iteration
+            if may_rebuild:
+                # Lazy queue rebuild after pull iterations (the pull step
+                # leaves the frontier as the label mask).
+                frontier0, n0 = jax.lax.cond(
+                    state.fvalid,
+                    lambda: (state.frontier, state.n),
+                    lambda: frontier_from_mask(state.labels == cur, fcap),
+                )
+                # Single-vertex frontiers skip the whole expansion
+                # machinery (fvalid=False afterwards, so only usable when
+                # a later push may rebuild the queue lazily).
+                return jax.lax.cond(
+                    n0 == 1,
+                    lambda: _single_source_step(graph, cap, mark_preds,
+                                                state, frontier0, depth),
+                    lambda: general(state, frontier0, n0, depth),
+                )
+            return general(state, state.frontier, state.n, depth)
         return step
     return make
 
@@ -255,13 +298,17 @@ def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
         dispatch_size = jnp.maximum(m_f, state.n)
 
         if direction_optimized:
-            # Beamer-style direction vote (reference per-GPU votes with
-            # do_a/do_b thresholds, bfs_enactor.cuh:852-939).
-            to_pull = m_f.astype(jnp.float32) * jnp.float32(alpha) > \
-                state.unexplored
-            to_push = state.n.astype(jnp.float32) * jnp.float32(beta) < \
-                jnp.float32(graph.num_nodes)
-            use_pull = jnp.where(state.use_pull, ~to_push, to_pull)
+            # Direction vote (reference per-GPU votes with do_a/do_b
+            # thresholds, bfs_enactor.cuh:852-939). Beamer's asymmetric
+            # hysteresis assumes pull cost ~ unexplored edges and push
+            # cost ~ frontier count; on TPU our pull pass is a FLAT
+            # full-edge kernel sweep (~10ms at scale 20) while push costs
+            # ~100ns per frontier-edge lane of irregular XLA ops, so the
+            # optimal decision is memoryless in m_f alone: pull iff the
+            # frontier's edge volume exceeds the break-even threshold.
+            # ``alpha`` keeps its Beamer direction (bigger = pull more).
+            use_pull = m_f.astype(jnp.float32) * jnp.float32(alpha) > \
+                jnp.float32(graph.num_edges / 32.0)
             (labels, preds, frontier, n, m_f_next, fvalid, edges,
              overflow) = jax.lax.cond(
                 use_pull,

@@ -167,8 +167,9 @@ def _make_nearfar_branch(graph, fcap, delta, use_pallas):
     return make
 
 
-def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array, *,
-               fcap: int, caps: tuple[int, ...], mode: str, delta: float,
+def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
+               delta: jax.Array, *,
+               fcap: int, caps: tuple[int, ...], mode: str,
                pallas: bool = False, init: bool = False):
     """Run relaxation rounds until convergence or ``upto`` iterations.
 
@@ -249,7 +250,8 @@ def _fill_preds(graph: DeviceGraph, dist: jax.Array) -> jax.Array:
 
 _sssp_jit = jax.jit(
     _sssp_loop,
-    static_argnames=("fcap", "caps", "mode", "delta", "pallas", "init"),
+    # delta stays dynamic (a traced f32): sweeping it must not recompile.
+    static_argnames=("fcap", "caps", "mode", "pallas", "init"),
 )
 _fill_preds_jit = None  # jitted lazily below
 
@@ -273,8 +275,8 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
         # graphs relax at most a few full-edge rounds per call.
         chunk_iters = max(1, min(64, (1 << 27) // max(graph.e_pad, 1) * 8))
     def chunk(st, upto, first):
-        return _sssp_jit(graph, st, jnp.int32(upto), fcap=fcap,
-                         caps=caps, mode=mode, delta=float(delta),
+        return _sssp_jit(graph, st, jnp.int32(upto), jnp.float32(delta),
+                         fcap=fcap, caps=caps, mode=mode,
                          pallas=use_pallas, init=first)
 
     # Chunked enactment (see bfs_device).

@@ -259,6 +259,18 @@ def pull_reached_words(words: jax.Array, graph, *,
     of v is in the frontier bitmask ``words``."""
     scan = blocked_pull_or(words, graph, interpret=interpret)
     K = graph.bcsc_groups
+    if graph.bcsc_wcell_pos is not None:
+        # Word-last slots are cell-aligned (31 mod 32) by construction
+        # (word-aligned layout): one strided slice yields the cell-last
+        # array, then one DENSE sorted-sample pass reads all K*nwords
+        # word results (vs K serial XLA gathers / a sparse sample).
+        cell_last = scan.reshape(-1, 32)[:, 31]
+        s = sample_sorted(cell_last, graph.bcsc_wcell_pos,
+                          interpret=interpret)
+        valid = graph.bcsc_sample_valid.reshape(K, -1)
+        per_k = jnp.where(valid, s.reshape(K, -1), 0)
+        return jax.lax.reduce(per_k, jnp.int32(0), jax.lax.bitwise_or,
+                              (0,))
     outs = []
     for k in range(K):
         s = jnp.take(scan, graph.bcsc_sample_pos[k],

@@ -1,9 +1,10 @@
-"""Microbenchmark the DO-BFS hot-loop pieces on real TPU hardware.
+"""Per-stage BFS cost breakdown on the bench graph (real TPU).
 
-Times each stage of the superstep in isolation to find where the
-3.2s (18.9 MTEPS) run at scale 20 goes.
+Times each hot-loop component standalone at realistic shapes to locate
+the 126ms: pull passes, push expansion pieces, dispatch overhead.
 """
 
+import functools
 import os
 import sys
 import time
@@ -15,121 +16,122 @@ import jax.numpy as jnp
 import numpy as np
 
 import gunrock_tpu as gt
+from gunrock_tpu.models.bfs import bfs_device
+from gunrock_tpu.ops import pallas_kernels as pk
+from gunrock_tpu.ops.advance import expand
+from gunrock_tpu.ops.segment import (compact, dedup_winners,
+                                     frontier_from_mask, scatter_set)
 
-SCALE = int(os.environ.get("SCALE", "20"))
-EF = int(os.environ.get("EF", "32"))
-CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".bench_cache", f"rmat_n{SCALE}_e{EF}.csr.npz")
+CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".bench_cache")
 
 
-def timeit(fn, *args, n=5):
-    out = jax.block_until_ready(fn(*args))  # compile
+def timeit(f, *args, n=5):
+    g = jax.jit(lambda *a: jax.tree_util.tree_leaves(f(*a))[0].reshape(-1)[:1])
+    float(np.asarray(g(*args))[0])
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(np.asarray(g(*args))[0])
         best = min(best, time.perf_counter() - t0)
-    return best * 1e3, out
+    return best * 1e3
 
 
 def main():
-    if os.path.exists(CACHE):
-        g = gt.CsrGraph.read_binary(CACHE)
-    else:
-        g = gt.io.rmat(scale=SCALE, edge_factor=EF, seed=1, undirected=True)
-    dg = gt.to_device(g, with_csc=True)
-    print(f"V={g.num_nodes} E={g.num_edges} v_pad={dg.v_pad} e_pad={dg.e_pad}",
-          f"dev={jax.devices()[0].device_kind}")
-
-    v_pad, e_pad = dg.v_pad, dg.e_pad
-    E = g.num_edges
-
-    # 1. full-edge gather: labels[csc_indices]
-    labels = jnp.zeros((v_pad,), jnp.int32)
-    f = jax.jit(lambda l: l[dg.csc_indices].sum())
-    ms, _ = timeit(f, labels)
-    print(f"gather labels[csc_indices] (E={e_pad}): {ms:8.2f} ms "
-          f"({e_pad*4/ms/1e6:.0f} GB/s effective)")
-
-    # 2. segment_max over CSC (the pull step's reduction)
-    vals = jnp.ones((e_pad,), jnp.int32)
-    f = jax.jit(lambda v: jax.ops.segment_max(v, dg.csc_edge_dst, v_pad,
-                                              indices_are_sorted=True))
-    ms, _ = timeit(f, vals)
-    print(f"segment_max sorted (E->V):          {ms:8.2f} ms")
-
-    # 2b. segment ops via ppermute-free .at[].max scatter
-    f = jax.jit(lambda v: jnp.zeros((v_pad,), jnp.int32)
-                .at[dg.csc_edge_dst].max(v, mode="drop"))
-    ms, _ = timeit(f, vals)
-    print(f"scatter .at[].max (E->V):           {ms:8.2f} ms")
-
-    # 3. full pull step (as in models/bfs._pull_step)
-    from gunrock_tpu.models.bfs import _pull_step, _State
-    from gunrock_tpu.enactor import init_stats
-    st = _State(labels=labels, preds=jnp.zeros((1,), jnp.int32),
-                frontier=jnp.zeros((v_pad,), jnp.int32), n=jnp.int32(1),
-                use_pull=jnp.bool_(False), unexplored=jnp.float32(E),
-                stats=init_stats())
-    f = jax.jit(lambda s: _pull_step(dg, v_pad, False, s))
-    ms, _ = timeit(f, st)
-    print(f"pull step (full):                   {ms:8.2f} ms")
-
-    # 4. cumsum over frontier degrees (fcap = v_pad)
-    fr = jnp.arange(v_pad, dtype=jnp.int32) % g.num_nodes
-    f = jax.jit(lambda fr: jnp.cumsum(
-        dg.row_offsets[fr + 1] - dg.row_offsets[fr]))
-    ms, _ = timeit(f, fr)
-    print(f"cumsum degrees (V):                 {ms:8.2f} ms")
-
-    # 5. searchsorted: ends (v_pad) x queries (cap) — the merge-path rank
-    ends = jnp.cumsum(jnp.ones((v_pad,), jnp.int32))
-    for cap in (1 << 20, 1 << 23, e_pad):
-        j = jnp.arange(cap, dtype=jnp.int32)
-        f = jax.jit(lambda e: jnp.searchsorted(e, j, side="right"))
-        ms, _ = timeit(f, ends)
-        print(f"searchsorted V x cap={cap:>9}:      {ms:8.2f} ms")
-
-    # 6. expand() at full cap
-    from gunrock_tpu.ops.advance import expand
-    f = jax.jit(lambda fr: expand(dg, fr, jnp.int32(g.num_nodes), e_pad).dst.sum())
-    ms, _ = timeit(f, fr)
-    print(f"expand full (cap=e_pad):            {ms:8.2f} ms")
-
-    # 7. claim dedup at e_pad lanes
-    from gunrock_tpu.ops.segment import dedup_winners
-    idx = jnp.arange(e_pad, dtype=jnp.int32) % g.num_nodes
-    msk = jnp.ones((e_pad,), bool)
-    f = jax.jit(lambda i, m: dedup_winners(i, m, v_pad).sum())
-    ms, _ = timeit(f, idx, msk)
-    print(f"dedup_winners (E lanes):            {ms:8.2f} ms")
-
-    # 8. compact at e_pad lanes
-    from gunrock_tpu.ops.segment import compact
-    f = jax.jit(lambda i, m: compact(i, m, v_pad)[0].sum())
-    ms, _ = timeit(f, idx, msk)
-    print(f"compact (E lanes -> V):             {ms:8.2f} ms")
-
-    # 9. one full push step at biggest ladder cap
-    from gunrock_tpu.models.bfs import _make_push_branch
-    push = _make_push_branch(dg, v_pad, False)
-    step = push(e_pad)
-    f = jax.jit(lambda s: step(s)[0].sum())
-    ms, _ = timeit(f, st)
-    print(f"push step (cap=e_pad):              {ms:8.2f} ms")
-
-    # 10. whole DO-BFS for reference
-    from gunrock_tpu.models.bfs import bfs_device
+    g = gt.CsrGraph.read_binary(
+        os.path.join(CACHE, "rmat_n20_e32.csr.npz"))
+    dg = gt.to_device(g, with_csc=True, with_blocked_csc=True,
+                      blocked_cache=os.path.join(
+                          CACHE, "rmat_n20_e32.blocked.npz"))
     src = g.largest_degree_vertex()
+
+    # ---- end-to-end + instrumented per-iteration ----
+    run = lambda: jax.block_until_ready(
+        bfs_device(dg, src, direction_optimized=True, max_iters=16384))
+    run()
     t0 = time.perf_counter()
-    out = jax.block_until_ready(bfs_device(dg, src, direction_optimized=True))
-    compile_s = time.perf_counter() - t0
-    ms, out = timeit(lambda: bfs_device(dg, src, direction_optimized=True), n=3)
-    iters = int(out[2].iteration)
-    print(f"DO-BFS total: {ms:8.2f} ms, iters={iters}, "
-          f"compile {compile_s:.1f}s")
-    trace = np.asarray(out[2].frontier_trace)
-    print("frontier trace:", trace[trace >= 0][:20])
+    run()
+    total_ms = (time.perf_counter() - t0) * 1e3
+    print(f"end-to-end: {total_ms:.1f} ms")
+
+    inst = []
+    jax.block_until_ready(bfs_device(dg, src, direction_optimized=True,
+                                     instrument=inst))
+    for r in inst:
+        print(f"  iter {r['iteration']:2d} {'PULL' if r['pull'] else 'push'}"
+              f" frontier={r['frontier']:8d} {r['ms']:7.1f} ms (instrumented)")
+
+    # ---- pull pass pieces ----
+    labels = jnp.zeros((dg.v_pad,), jnp.int32)
+    rows = dg.bcsc_groups * dg.bcsc_rows_per_group
+    ms = timeit(lambda lab: pk.pack_bitmask(lab == 0, rows=rows), labels)
+    print(f"pack_bitmask: {ms:.2f} ms")
+    words = pk.pack_bitmask(labels == 0, rows=rows)
+    ms = timeit(lambda w: pk.blocked_pull_or(w, dg), words)
+    print(f"blocked_pull_or scan: {ms:.2f} ms")
+    ms = timeit(lambda w: pk.pull_reached_words(w, dg), words)
+    print(f"pull_reached_words (scan+samples): {ms:.2f} ms")
+    reach = pk.pull_reached_words(words, dg)
+    ms = timeit(lambda r: pk.unpack_bitmask(r, dg.v_pad), reach)
+    print(f"unpack_bitmask: {ms:.2f} ms")
+
+    # full pull step cost model: new_mask + counts
+    def pull_tail(reach_w, lab):
+        new_mask = (lab == jnp.int32(-1)) & pk.unpack_bitmask(reach_w, dg.v_pad)
+        lab2 = jnp.where(new_mask, 2, lab)
+        n = jnp.sum(new_mask.astype(jnp.int32))
+        deg = dg.row_offsets[1:] - dg.row_offsets[:-1]
+        m_f = jnp.sum(jnp.where(new_mask, deg, 0))
+        return lab2, n, m_f
+    ms = timeit(pull_tail, reach, labels)
+    print(f"pull tail (mask+label+counts): {ms:.2f} ms")
+
+    # ---- push pieces at the big rung (cap = e_pad/4 and frontier ~500k) ----
+    rng = np.random.default_rng(0)
+    fcap = dg.v_pad // 4
+    for nf in (4096, 65536, fcap):
+        fr_np = np.sort(rng.choice(g.num_nodes, nf, replace=False)
+                        .astype(np.int32))
+        fr = jnp.asarray(fr_np)
+        deg = np.diff(g.row_offsets)[fr_np]
+        m_f = int(deg.sum())
+        # pick rung like dispatch would: smallest cap >= m_f
+        from gunrock_tpu.enactor import capacity_ladder
+        caps = capacity_ladder(max(128, dg.e_pad))
+        cap = min(c for c in caps if c >= max(m_f, nf))
+        frp = jnp.concatenate([fr, jnp.full((cap - nf,), dg.v_pad - 1,
+                                            jnp.int32)]) \
+            if cap > nf else fr[:cap]
+        n0 = jnp.int32(nf)
+        print(f"frontier n={nf} m_f={m_f/1e6:.2f}M cap={cap/1e6:.2f}M:")
+        ms = timeit(lambda f, n: expand(dg, f, n, cap, sorted_frontier=True),
+                    frp, n0)
+        print(f"  expand: {ms:.2f} ms")
+        ex = jax.jit(lambda f, n: expand(dg, f, n, cap,
+                                         sorted_frontier=True))(frp, n0)
+        ms = timeit(lambda lab, d: lab[d] == jnp.int32(-1), labels, ex.dst)
+        print(f"  membership gather (XLA): {ms:.2f} ms")
+        unv = pk.pack_bitmask(labels == jnp.int32(-1))
+        ms = timeit(lambda w, d: pk.bitmask_gather(w, d), unv, ex.dst)
+        print(f"  membership gather (pallas bitmask): {ms:.2f} ms")
+        isn = jnp.asarray(ex.mask)
+        ms = timeit(lambda d, m: dedup_winners(d, m, dg.v_pad), ex.dst, isn)
+        print(f"  dedup_winners: {ms:.2f} ms")
+        ms = timeit(lambda lab, d, m: scatter_set(lab, d, 3, mask=m),
+                    labels, ex.dst, isn)
+        print(f"  scatter_set labels: {ms:.2f} ms")
+        ms = timeit(lambda d, m: compact(d, m, fcap), ex.dst, isn)
+        print(f"  compact next frontier: {ms:.2f} ms")
+        ms = timeit(lambda d, m: jnp.sum(jnp.where(
+            m, dg.row_offsets[d + 1] - dg.row_offsets[d], 0)),
+            ex.dst, isn)
+        print(f"  next degree sum: {ms:.2f} ms")
+
+    # dispatch overhead probe: tiny jit call
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.int32)
+    ms = timeit(f, x)
+    print(f"null dispatch: {ms:.2f} ms")
 
 
 if __name__ == "__main__":

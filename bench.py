@@ -21,6 +21,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent XLA executable cache: the DO-BFS program takes ~2 min to
+# compile; cache it across bench invocations.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 SCALE = int(os.environ.get("BENCH_SCALE", "20"))
 EDGE_FACTOR = int(os.environ.get("BENCH_EDGE_FACTOR", "32"))
 RUNS = int(os.environ.get("BENCH_RUNS", "5"))

@@ -45,7 +45,8 @@ def round_up(x: int, m: int = LANE) -> int:
         "row_offsets", "col_indices", "edge_values", "edge_src",
         "csc_offsets", "csc_indices", "csc_edge_values", "csc_edge_dst",
         "bcsc_src", "bcsc_dst", "bcsc_group_of_block", "bcsc_sample_pos",
-        "bcsc_sample_valid", "bcsc_wcell_pos", "bcsc_val",
+        "bcsc_sample_valid", "bcsc_wcell_pos", "bcsc_csrc", "bcsc_cdst",
+        "bcsc_cellword", "bcsc_val",
         "bcsc_vsample_pos", "bcsc_vsample_valid",
     ],
     meta_fields=["num_nodes", "num_edges", "v_pad", "e_pad",
@@ -94,6 +95,15 @@ class DeviceGraph:
     # cell-last array and streams all K*nwords samples through one dense
     # sample_sorted DMA pass instead of K serial XLA gathers.
     bcsc_wcell_pos: Optional[jax.Array] = None      # (K*v_pad//32,) int32
+    # Cell-transposed copies for the cells pull kernel: within each
+    # 4096-slot window, slot s of cell c sits at (row s, lane c), so the
+    # within-cell OR is five unkeyed sublane rolls and cell results
+    # extract to a compact (windows, 128) layout in-kernel — the keyed
+    # segmented scan then runs over cells (1/32nd the elements) instead
+    # of slots. bcsc_cellword holds each cell's destination word id.
+    bcsc_csrc: Optional[jax.Array] = None           # (E',) int32
+    bcsc_cdst: Optional[jax.Array] = None           # (E',) int32
+    bcsc_cellword: Optional[jax.Array] = None       # (E'//32,) int32
     # Value-kernel extensions: weights in blocked order, per-(group,
     # vertex) sample positions for segmented value reductions.
     bcsc_val: Optional[jax.Array] = None            # (E',) float32
@@ -184,6 +194,22 @@ def _word_align_group(ds_k: np.ndarray, ss_k: np.ndarray,
         out_ev = np.zeros(total, np.float32)
         out_ev[pos] = ev_k
     return out_ds, out_ss, out_ev
+
+
+def _cell_transpose(bsrc: np.ndarray, bdst: np.ndarray) -> dict:
+    """(slot-ordered) -> cell-transposed layout for the cells pull kernel:
+    within each 4096-slot window, slot s of cell c moves to row s, lane c.
+    Cell indices are unchanged (cell = slot // 32)."""
+    seg_s = bsrc.reshape(-1, 128, 32)
+    seg_d = bdst.reshape(-1, 128, 32)
+    return dict(
+        bcsc_csrc=jnp.asarray(
+            np.ascontiguousarray(seg_s.transpose(0, 2, 1)).reshape(-1)),
+        bcsc_cdst=jnp.asarray(
+            np.ascontiguousarray(seg_d.transpose(0, 2, 1)).reshape(-1)),
+        bcsc_cellword=jnp.asarray(
+            (seg_d[:, :, 0] >> 5).astype(np.int32).reshape(-1)),
+    )
 
 
 def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int,
@@ -297,6 +323,9 @@ def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int,
         bcsc_sample_pos=jnp.asarray(sample_pos),
         bcsc_sample_valid=jnp.asarray(sample_valid),
         bcsc_wcell_pos=jnp.asarray(wcell_pos),
+        # Cell-transposed copies (see DeviceGraph): windows never straddle
+        # groups (block_edges is a multiple of 4096).
+        **(_cell_transpose(bsrc, bdst) if block_rows >= 32 else {}),
         bcsc_groups=K,
         bcsc_rows_per_group=rpg,
         bcsc_block_rows=block_rows,
@@ -368,7 +397,7 @@ def to_device(
             with np.load(blocked_cache) as z:
                 if (int(z["block_rows"]) == br
                         and int(z["groups"]) == blocked_groups
-                        and "bcsc_wcell_pos" in z.files
+                        and ("bcsc_cellword" in z.files or br < 32)
                         and bool(z["has_vsamples"]) >= with_blocked_values):
                     built = {k: jnp.asarray(z[k]) for k in z.files
                              if k.startswith("bcsc_")}

@@ -113,11 +113,26 @@ def _single_source_step(graph: DeviceGraph, cap: int, mark_preds: bool,
     preds = state.preds
     if mark_preds:
         preds = scatter_set(preds, nbr, v, mask=is_new)
-    n = jnp.sum(is_new.astype(jnp.int32))
-    deg_dst = graph.row_offsets[nbr + 1] - graph.row_offsets[nbr]
-    m_f_next = jnp.sum(jnp.where(is_new, deg_dst, 0))
+    n, m_f_next = _dense_next_stats(graph, labels, depth, cap, is_new, nbr)
     return (labels, preds, state.frontier, n, m_f_next,
             jnp.bool_(False), deg, deg > cap)
+
+
+def _dense_next_stats(graph: DeviceGraph, labels: jax.Array,
+                      depth: jax.Array, cap: int, is_new: jax.Array,
+                      dst: jax.Array):
+    """Next-frontier count and degree sum. Big rungs count DENSELY from
+    the updated labels (sequential v-scale reads, also dedup-exact);
+    small rungs stay on the lane-scale path (two random gathers beat a
+    v_pad-scale pass there)."""
+    if cap >= graph.v_pad // 8:
+        new_mask = labels == depth
+        deg = graph.row_offsets[1:] - graph.row_offsets[:-1]
+        return (jnp.sum(new_mask.astype(jnp.int32)),
+                jnp.sum(jnp.where(new_mask, deg, 0)))
+    deg_dst = graph.row_offsets[dst + 1] - graph.row_offsets[dst]
+    return (jnp.sum(is_new.astype(jnp.int32)),
+            jnp.sum(jnp.where(is_new, deg_dst, 0)))
 
 
 def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool,
@@ -150,6 +165,23 @@ def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool,
                 is_new = ex.mask & (bitmask_gather(unvisited, ex.dst) > 0)
             else:
                 is_new = ex.mask & (state.labels[ex.dst] == INVALID)
+            if may_rebuild and cap >= graph.v_pad // 4:
+                # DO mode, big rung: duplicate dst lanes write identical
+                # labels (and a deterministic last-wins pred), so the
+                # claim-dedup and queue compaction — two cap-scale
+                # scatter+gather pairs — are pure overhead. Leave the
+                # queue unmaterialized; stats count densely (dedup-exact)
+                # and a following push rebuilds the queue lazily.
+                labels = scatter_set(state.labels, ex.dst, depth,
+                                     mask=is_new)
+                preds = state.preds
+                if mark_preds:
+                    preds = scatter_set(preds, ex.dst, ex.src, mask=is_new)
+                n, m_f_next = _dense_next_stats(graph, labels, depth, cap,
+                                                is_new, ex.dst)
+                overflow = (ex.total > cap) | rebuild_ovf
+                return (labels, preds, state.frontier, n, m_f_next,
+                        jnp.bool_(False), ex.total, overflow)
             keep = dedup_winners(ex.dst, is_new, graph.v_pad)
             labels = scatter_set(state.labels, ex.dst, depth, mask=keep)
             preds = state.preds
@@ -302,7 +334,7 @@ def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
             # thresholds, bfs_enactor.cuh:852-939). Beamer's asymmetric
             # hysteresis assumes pull cost ~ unexplored edges and push
             # cost ~ frontier count; on TPU our pull pass is a FLAT
-            # full-edge kernel sweep (~10ms at scale 20) while push costs
+            # full-edge kernel sweep (~7ms at scale 20) while push costs
             # ~100ns per frontier-edge lane of irregular XLA ops, so the
             # optimal decision is memoryless in m_f alone: pull iff the
             # frontier's edge volume exceeds the break-even threshold.

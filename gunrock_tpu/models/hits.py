@@ -37,13 +37,11 @@ class HitsResult:
     info: dict
 
 
-def _hits_loop(graph: DeviceGraph, max_iters: jax.Array):
+def _hits_loop(graph: DeviceGraph, rev: DeviceGraph, max_iters: jax.Array):
     v_pad = graph.v_pad
     vmask = jnp.arange(v_pad, dtype=jnp.int32) < graph.num_nodes
     hub0 = jnp.where(vmask, 1.0, 0.0).astype(jnp.float32)
     auth0 = hub0
-    # Forward edge segment ids (per-CSR-edge source) for hub updates.
-    src_seg = graph.edge_src
 
     def body(i, carry):
         hub, auth = carry
@@ -55,9 +53,16 @@ def _hits_loop(graph: DeviceGraph, max_iters: jax.Array):
             auth = row_reduce_sorted(hub[graph.csc_indices],
                                      graph.csc_offsets, op="sum")
         auth = auth / jnp.maximum(jnp.max(auth), 1e-12)
-        # hub[u] = sum of auth over out-neighbors (advance over CSR).
-        hub = row_reduce_sorted(auth[graph.col_indices],
-                                graph.row_offsets, op="sum")
+        # hub[u] = sum of auth over out-neighbors (advance over CSR) —
+        # a pull over the REVERSE graph's in-edges when the reverse
+        # blocked layout is available (directed link graphs otherwise pay
+        # an edge-scale random gather here).
+        if rev is not None and rev.has_blocked_values:
+            from ..ops.pallas_kernels import pull_vertex_reduce
+            hub = pull_vertex_reduce(auth, rev, op="sum", wmode="none")
+        else:
+            hub = row_reduce_sorted(auth[graph.col_indices],
+                                    graph.row_offsets, op="sum")
         hub = hub / jnp.maximum(jnp.max(hub), 1e-12)
         return hub, auth
 
@@ -65,26 +70,46 @@ def _hits_loop(graph: DeviceGraph, max_iters: jax.Array):
     return hub, auth
 
 
-_hits_jit = jax.jit(_hits_loop)
+_hits_jit = jax.jit(_hits_loop, static_argnames=())
 
 
-def hits_device(graph: DeviceGraph, max_iters: int = 50):
+def hits_device(graph: DeviceGraph, max_iters: int = 50,
+                rev: DeviceGraph = None):
     if not graph.has_csc or graph.edge_src is None:
         raise ValueError("HITS needs to_device(with_csc=True, with_edge_src=True)")
-    return _hits_jit(graph, jnp.int32(max_iters))
+    if rev is None:
+        return jax.jit(lambda g, it: _hits_loop(g, None, it))(
+            graph, jnp.int32(max_iters))
+    return _hits_jit(graph, rev, jnp.int32(max_iters))
+
+
+def reverse_blocked(graph: CsrGraph) -> DeviceGraph:
+    """Blocked-value layout of the TRANSPOSE: out-edge reductions
+    (hub[u] = sum over (u,v) of f(x[v])) become in-edge pulls over the
+    reverse graph, riding the fast value kernel. The reference reaches
+    the same data through GraphSlice column_offsets/row_indices
+    (problem_base.cuh:97-98)."""
+    return to_device(graph.csc(), with_edge_values=False,
+                     with_blocked_values=True)
 
 
 def hits(graph: Union[CsrGraph, DeviceGraph],
          max_iters: int = 50) -> HitsResult:
     timer = Timer()
     num_nodes = graph.num_nodes
+    rev = None
     if isinstance(graph, CsrGraph):
         with timer.time("preprocess_ms"):
-            dgraph = to_device(graph, with_csc=True, with_edge_src=True)
+            use_kernels = jax.default_backend() == "tpu"
+            dgraph = to_device(graph, with_csc=True, with_edge_src=True,
+                               with_blocked_values=use_kernels)
+            if use_kernels:
+                rev = reverse_blocked(graph)
     else:
         dgraph = graph
     with timer.time("process_ms"):
-        hub, auth = jax.block_until_ready(hits_device(dgraph, max_iters))
+        hub, auth = jax.block_until_ready(
+            hits_device(dgraph, max_iters, rev=rev))
     info = make_info(
         primitive="hits", graph=dgraph, timer=timer,
         edges_visited=2 * dgraph.num_edges * max_iters,

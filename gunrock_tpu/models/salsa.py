@@ -37,7 +37,7 @@ class SalsaResult:
     info: dict
 
 
-def _salsa_loop(graph: DeviceGraph, max_iters: jax.Array):
+def _salsa_loop(graph: DeviceGraph, rev, max_iters: jax.Array):
     v_pad = graph.v_pad
     n = graph.num_nodes
     vmask = jnp.arange(v_pad, dtype=jnp.int32) < n
@@ -57,8 +57,15 @@ def _salsa_loop(graph: DeviceGraph, max_iters: jax.Array):
         else:
             auth = row_reduce_sorted((hub * inv_out)[graph.csc_indices],
                                      graph.csc_offsets, op="sum")
-        hub = row_reduce_sorted((auth * inv_in)[graph.col_indices],
-                                graph.row_offsets, op="sum")
+        # hub update = pull over the REVERSE graph when its blocked
+        # layout is available (see hits.reverse_blocked).
+        if rev is not None and rev.has_blocked_values:
+            from ..ops.pallas_kernels import pull_vertex_reduce
+            hub = pull_vertex_reduce(auth * inv_in, rev, op="sum",
+                                     wmode="none")
+        else:
+            hub = row_reduce_sorted((auth * inv_in)[graph.col_indices],
+                                    graph.row_offsets, op="sum")
         return hub, auth
 
     return jax.lax.fori_loop(0, max_iters, body, (hub0, auth0))
@@ -67,23 +74,34 @@ def _salsa_loop(graph: DeviceGraph, max_iters: jax.Array):
 _salsa_jit = jax.jit(_salsa_loop)
 
 
-def salsa_device(graph: DeviceGraph, max_iters: int = 50):
+def salsa_device(graph: DeviceGraph, max_iters: int = 50,
+                 rev: DeviceGraph = None):
     if not graph.has_csc or graph.edge_src is None:
         raise ValueError("SALSA needs to_device(with_csc=True, with_edge_src=True)")
-    return _salsa_jit(graph, jnp.int32(max_iters))
+    if rev is None:
+        return jax.jit(lambda g, it: _salsa_loop(g, None, it))(
+            graph, jnp.int32(max_iters))
+    return _salsa_jit(graph, rev, jnp.int32(max_iters))
 
 
 def salsa(graph: Union[CsrGraph, DeviceGraph],
           max_iters: int = 50) -> SalsaResult:
     timer = Timer()
     num_nodes = graph.num_nodes
+    rev = None
     if isinstance(graph, CsrGraph):
         with timer.time("preprocess_ms"):
-            dgraph = to_device(graph, with_csc=True, with_edge_src=True)
+            use_kernels = jax.default_backend() == "tpu"
+            dgraph = to_device(graph, with_csc=True, with_edge_src=True,
+                               with_blocked_values=use_kernels)
+            if use_kernels:
+                from .hits import reverse_blocked
+                rev = reverse_blocked(graph)
     else:
         dgraph = graph
     with timer.time("process_ms"):
-        hub, auth = jax.block_until_ready(salsa_device(dgraph, max_iters))
+        hub, auth = jax.block_until_ready(
+            salsa_device(dgraph, max_iters, rev=rev))
     info = make_info(
         primitive="salsa", graph=dgraph, timer=timer,
         edges_visited=2 * dgraph.num_edges * max_iters,

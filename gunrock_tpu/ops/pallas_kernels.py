@@ -253,12 +253,119 @@ def blocked_pull_or(words: jax.Array, graph, *,
     return scan.reshape(-1)
 
 
+def _pull_cells_kernel(rpg: int, g_ref, t_ref, src_ref, dst_ref, cw_ref,
+                       o_ref, cellbuf, carry_ref):
+    """Cells variant of the pull kernel (cell-transposed layout): the
+    within-cell OR is five unkeyed sublane rolls, cell results extract to
+    a compact (windows, 128) buffer, and the keyed segmented scan runs
+    over cells — 1/32nd of the slot count the full-scan kernel reduces.
+    """
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        carry_ref[0, 0] = 0
+        carry_ref[0, 1] = -1
+
+    g = g_ref[k]
+    src = src_ref[...]                      # (BR,128) transposed sources
+    dst = dst_ref[...]
+    shape = src.shape
+
+    wid_s = jax.lax.shift_right_logical(src, 5)
+    wrow_l = jax.lax.shift_right_logical(wid_s, 7) - g * rpg
+    wlane_s = wid_s & (LANE - 1)
+    bit_s = src & 31
+
+    def body(gg, acc):
+        slab = t_ref[pl.ds(gg * 8, 8), :]
+        for u in range(8):
+            rowv = jnp.broadcast_to(slab[u:u + 1, :], shape)
+            rowc = jnp.take_along_axis(rowv, wlane_s, axis=1)
+            acc = jnp.where(wrow_l == gg * 8 + u, rowc, acc)
+        return acc
+
+    acc = jax.lax.fori_loop(0, rpg // 8, body, jnp.zeros(shape, jnp.int32))
+    hit = jax.lax.shift_right_logical(acc, bit_s) & 1
+    y = jnp.where(hit > 0,
+                  jax.lax.shift_left(jnp.int32(1), dst & 31), 0)
+
+    # Within-cell OR: a cell's 32 slots sit in one 32-row column window;
+    # no keys needed (windows == cells by construction).
+    rowpos = jax.lax.broadcasted_iota(jnp.int32, shape, 0) & 31
+    s = 1
+    while s < 32:
+        y = y | jnp.where(rowpos >= s, pltpu.roll(y, s, 0), 0)
+        s *= 2
+    # Row 31 of window w holds window w's 128 cell OR values.
+    for w in range(shape[0] // 32):
+        cellbuf[w, :] = y[w * 32 + 31, :]
+
+    cw = cw_ref[...]                        # (BR//32, 128) cell word ids
+    cells = cellbuf[...]
+    # splice the running carry into the leading segment (OR: idempotent)
+    cells = cells | jnp.where(cw == carry_ref[0, 1], carry_ref[0, 0], 0)
+    scan = _seg_scan_or(cells, cw)
+    o_ref[...] = scan
+    carry_ref[0, 0] = scan[shape[0] // 32 - 1, LANE - 1]
+    carry_ref[0, 1] = cw[shape[0] // 32 - 1, LANE - 1]
+
+
+@functools.partial(jax.jit, static_argnames=("rpg", "block_rows",
+                                             "interpret"))
+def _pull_cells_2d(words, src2d, dst2d, cw2d, group_of_block, *, rpg: int,
+                   block_rows: int, interpret: bool):
+    m = src2d.shape[0]
+    nw = block_rows // 32
+    kernel = functools.partial(_pull_cells_kernel, rpg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m // block_rows,),
+        in_specs=[
+            pl.BlockSpec((rpg, LANE), lambda k, gref: (gref[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANE), lambda k, gref: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANE), lambda k, gref: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nw, LANE), lambda k, gref: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nw, LANE), lambda k, gref: (k, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((nw, LANE), jnp.int32),
+                        pltpu.SMEM((1, 2), jnp.int32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m // 32, LANE), jnp.int32),
+        interpret=interpret,
+    )(group_of_block, words, src2d, dst2d, cw2d)
+
+
 def pull_reached_words(words: jax.Array, graph, *,
                        interpret: bool = False) -> jax.Array:
     """(nwords,) int32 packed reach bits: bit v set iff some in-neighbor
     of v is in the frontier bitmask ``words``."""
-    scan = blocked_pull_or(words, graph, interpret=interpret)
     K = graph.bcsc_groups
+    if graph.bcsc_cellword is not None and graph.bcsc_wcell_pos is not None:
+        # Cells kernel: compact cell-value output, sampled densely.
+        br = graph.bcsc_block_rows
+        cells = _pull_cells_2d(
+            words, graph.bcsc_csrc.reshape(-1, LANE),
+            graph.bcsc_cdst.reshape(-1, LANE),
+            graph.bcsc_cellword.reshape(-1, LANE),
+            graph.bcsc_group_of_block,
+            rpg=graph.bcsc_rows_per_group, block_rows=br,
+            interpret=interpret).reshape(-1)
+        s = sample_sorted(cells, graph.bcsc_wcell_pos,
+                          interpret=interpret)
+        valid = graph.bcsc_sample_valid.reshape(K, -1)
+        per_k = jnp.where(valid, s.reshape(K, -1), 0)
+        return jax.lax.reduce(per_k, jnp.int32(0), jax.lax.bitwise_or,
+                              (0,))
+    scan = blocked_pull_or(words, graph, interpret=interpret)
     if graph.bcsc_wcell_pos is not None:
         # Word-last slots are cell-aligned (31 mod 32) by construction
         # (word-aligned layout): one strided slice yields the cell-last

@@ -111,6 +111,31 @@ def test_blocked_pull_or_interpret(seed):
     np.testing.assert_array_equal(reached, ref)
 
 
+@pytest.mark.parametrize("seed", [5, 9])
+def test_pull_cells_kernel_interpret(seed):
+    """The cell-transposed cells kernel path == the edge-level oracle
+    (block_rows=32 builds the bcsc_c* arrays)."""
+    import gunrock_tpu as gt
+    from gunrock_tpu.ops.pallas_kernels import (pack_bitmask,
+                                                pull_reached_words,
+                                                unpack_bitmask)
+    rng = np.random.default_rng(seed)
+    g = gt.io.rmat(scale=10, edge_factor=6, seed=seed, undirected=True)
+    dg = gt.to_device(g, with_csc=True, with_blocked_csc=True,
+                      blocked_block_rows=32)
+    assert dg.bcsc_cellword is not None
+    rows = dg.bcsc_groups * dg.bcsc_rows_per_group
+    mask = rng.integers(0, 2, dg.v_pad).astype(bool)
+    words = pack_bitmask(jnp.asarray(mask), rows=rows)
+    rw = pull_reached_words(words, dg, interpret=True)
+    reached = np.asarray(unpack_bitmask(rw, dg.v_pad))
+    ref = np.zeros(dg.v_pad, bool)
+    src = g.edge_sources()
+    hits = mask[src]
+    np.logical_or.at(ref, g.col_indices[hits], True)
+    np.testing.assert_array_equal(reached, ref)
+
+
 def test_sssp_pull_relax_matches_push(rmat_small):
     """The blocked min/add pull relaxation == the push relaxation."""
     import gunrock_tpu as gt

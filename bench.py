@@ -67,9 +67,13 @@ def main():
 
     # max_iters == chunk budget => single device call, no convergence
     # probe round-trip; the structural asserts below catch truncation.
-    run = lambda: jax.block_until_ready(
-        bfs_device(dgraph, src, direction_optimized=True,
-                   max_iters=16384))
+    # The completion fence is a 1-element fetch: block_until_ready can
+    # return early over the serving tunnel for fresh outputs.
+    def run():
+        out = bfs_device(dgraph, src, direction_optimized=True,
+                         max_iters=16384)
+        np.asarray(out[0].reshape(-1)[0:1])
+        return out
 
     labels, _, stats = run()  # warmup + compile
     lab = np.asarray(labels)[: g.num_nodes]

@@ -26,13 +26,22 @@ ONLY = os.environ.get("BENCH_ONLY", "").split(",") if \
     os.environ.get("BENCH_ONLY") else None
 
 
-def best_ms(fn, runs=RUNS):
+def _sync(out):
+    # block_until_ready can return early over the serving tunnel for
+    # fresh outputs; a scalar fetch is the reliable completion fence.
     import jax
-    jax.block_until_ready(fn())
+    import numpy as np
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.reshape(-1)[0:1])    # 1-element device->host fetch
+    return out
+
+
+def best_ms(fn, runs=RUNS):
+    _sync(fn())
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _sync(fn())
         best = min(best, time.perf_counter() - t0)
     return best * 1e3
 
@@ -74,10 +83,12 @@ def main():
         dg = gt.to_device(g, with_csc=True, with_blocked_csc=True,
                           blocked_cache=blocked_cache)
         out = jax.block_until_ready(
-            bfs_device(dg, src, direction_optimized=True))
+            bfs_device(dg, src, direction_optimized=True,
+                       max_iters=16384))
         reached = np.asarray(out[0])[: g.num_nodes] >= 0
         ev = int(degs[reached].sum())
-        ms = best_ms(lambda: bfs_device(dg, src, direction_optimized=True))
+        ms = best_ms(lambda: bfs_device(dg, src, direction_optimized=True,
+                                        max_iters=16384))
         emit(f"bfs_do_rmat{SCALE}", ms, ev,
              {"search_depth": int(np.asarray(out[0]).max())})
         del dg
@@ -101,7 +112,8 @@ def main():
 
     if want("pr"):
         from gunrock_tpu.models.pr import pagerank_device
-        dgc = gt.to_device(g, with_csc=True, with_blocked_values=True,
+        dgc = gt.to_device(g, with_csc=True, with_edge_src=True,
+                           with_blocked_values=True,
                            blocked_cache=blockedv_cache)
         out = jax.block_until_ready(pagerank_device(dgc, max_iters=20,
                                                     threshold=0.0))
@@ -113,8 +125,12 @@ def main():
 
         if want("hits"):
             from gunrock_tpu.models.hits import hits_device
-            out = jax.block_until_ready(hits_device(dgc, max_iters=10))
-            ms = best_ms(lambda: hits_device(dgc, max_iters=10))
+            # bench graph is undirected: the transpose is the graph
+            # itself, so dgc doubles as the reverse blocked layout
+            out = jax.block_until_ready(
+                hits_device(dgc, max_iters=10, rev=dgc))
+            ms = best_ms(lambda: hits_device(dgc, max_iters=10,
+                                             rev=dgc))
             emit(f"hits_rmat{SCALE}", ms / 10, 2 * E,
                  {"note": "per-iteration"})
         del dgc
@@ -137,6 +153,23 @@ def main():
         ms = best_ms(lambda: bc_device(dgb, src))
         emit(f"bc_rmat{SCALE}", ms, 2 * E)
         del dgb
+
+    if want("deep"):
+        # Deep/high-diameter regime (road-like): non-DO BFS over a grid —
+        # exercises the rung ladder, not the pull kernels.
+        from gunrock_tpu.models.bfs import bfs_device
+        n = 1024
+        idx = np.arange(n * n).reshape(n, n)
+        gsrc = np.concatenate([idx[:, :-1].ravel(), idx[:-1, :].ravel()])
+        gdst = np.concatenate([idx[:, 1:].ravel(), idx[1:, :].ravel()])
+        gg = gt.from_coo(n * n, gsrc, gdst, undirected=True)
+        dgg = gt.to_device(gg)
+        out = jax.block_until_ready(bfs_device(dgg, 0))
+        depth = int(np.asarray(out[0]).max())
+        ms = best_ms(lambda: bfs_device(dgg, 0))
+        emit("bfs_deep_grid1024", ms, gg.num_edges,
+             {"search_depth": depth})
+        del dgg
 
     if want("tc"):
         from gunrock_tpu.models.tc import tc

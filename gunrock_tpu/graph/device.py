@@ -136,9 +136,10 @@ class DeviceGraph:
         return self.csc_offsets[v + 1] - self.csc_offsets[v]
 
 
-def _pad_offsets(row_offsets: np.ndarray, v_pad: int, num_edges: int) -> np.ndarray:
-    out = np.full(v_pad + 1, num_edges, dtype=np.int32)
-    out[: row_offsets.shape[0]] = row_offsets.astype(np.int32)
+def _pad_offsets(row_offsets: np.ndarray, v_pad: int, num_edges: int,
+                 dtype=np.int32) -> np.ndarray:
+    out = np.full(v_pad + 1, num_edges, dtype=dtype)
+    out[: row_offsets.shape[0]] = row_offsets.astype(dtype)
     return out
 
 
@@ -349,16 +350,32 @@ def to_device(
     blocked_block_rows: Optional[int] = None,
     blocked_groups: int = 16,
     blocked_cache: Optional[str] = None,
+    sizet64: Optional[bool] = None,
 ) -> DeviceGraph:
     """Upload a host CSR to the device with tile-aligned padding.
 
     Equivalent role to ``GraphSlice::Init`` H2D copies
     (``problem_base.cuh:192-310``).
+
+    ``sizet64``: hold edge offsets as int64 (the reference's
+    ``--64bit-SizeT``, ``util/test_utils.h``); auto-enabled past 2^31-2
+    edges. Offset arithmetic in the XLA operators follows the dtype;
+    the blocked pallas layouts stay int32 and are refused beyond int32
+    range.
     """
     v_pad = round_up(max(g.num_nodes, 1))
     e_pad = round_up(max(g.num_edges, 1))
+    if sizet64 is None:
+        sizet64 = e_pad >= 2**31 - 2
+    if sizet64 and (with_blocked_csc or with_blocked_values):
+        raise ValueError("blocked pallas layouts require 32-bit SizeT "
+                         "(graphs beyond 2^31 edges: shard first)")
+    if sizet64 and not jax.config.jax_enable_x64:
+        raise ValueError("sizet64 needs JAX x64 mode: set JAX_ENABLE_X64=1 "
+                         "or jax.config.update('jax_enable_x64', True)")
+    off_t = np.int64 if sizet64 else np.int32
 
-    row = _pad_offsets(g.row_offsets, v_pad, g.num_edges)
+    row = _pad_offsets(g.row_offsets, v_pad, g.num_edges, off_t)
     col = _pad_edges(g.col_indices.astype(np.int32), e_pad, 0)
 
     ev = None
@@ -375,7 +392,8 @@ def to_device(
     csc_off = csc_idx = csc_ev = csc_dst = None
     if with_csc:
         t = g.csc()
-        csc_off = jnp.asarray(_pad_offsets(t.row_offsets, v_pad, t.num_edges))
+        csc_off = jnp.asarray(_pad_offsets(t.row_offsets, v_pad,
+                                           t.num_edges, off_t))
         csc_idx = jnp.asarray(_pad_edges(t.col_indices.astype(np.int32), e_pad, 0))
         if with_edge_values:
             tv = t.edge_values

@@ -78,6 +78,12 @@ class _State:
     stats: LoopStats
 
 
+
+def _i32(x):
+    """Clip to int32 (stats/dispatch values) — keeps loop-state dtypes
+    stable when offsets are int64 (--64bit-SizeT)."""
+    return jnp.minimum(x, 2**31 - 1).astype(jnp.int32)
+
 def _frontier_degree_sum(graph: DeviceGraph, frontier: jax.Array,
                          n: jax.Array) -> jax.Array:
     lane = jnp.arange(frontier.shape[0], dtype=jnp.int32)
@@ -115,7 +121,7 @@ def _single_source_step(graph: DeviceGraph, cap: int, mark_preds: bool,
         preds = scatter_set(preds, nbr, v, mask=is_new)
     n, m_f_next = _dense_next_stats(graph, labels, depth, cap, is_new, nbr)
     return (labels, preds, state.frontier, n, m_f_next,
-            jnp.bool_(False), deg, deg > cap)
+            jnp.bool_(False), _i32(deg), deg > cap)
 
 
 def _dense_next_stats(graph: DeviceGraph, labels: jax.Array,
@@ -128,11 +134,11 @@ def _dense_next_stats(graph: DeviceGraph, labels: jax.Array,
     if cap >= graph.v_pad // 8:
         new_mask = labels == depth
         deg = graph.row_offsets[1:] - graph.row_offsets[:-1]
-        return (jnp.sum(new_mask.astype(jnp.int32)),
-                jnp.sum(jnp.where(new_mask, deg, 0)))
+        return (_i32(jnp.sum(new_mask.astype(jnp.int32))),
+                _i32(jnp.sum(jnp.where(new_mask, deg, 0))))
     deg_dst = graph.row_offsets[dst + 1] - graph.row_offsets[dst]
-    return (jnp.sum(is_new.astype(jnp.int32)),
-            jnp.sum(jnp.where(is_new, deg_dst, 0)))
+    return (_i32(jnp.sum(is_new.astype(jnp.int32))),
+            _i32(jnp.sum(jnp.where(is_new, deg_dst, 0))))
 
 
 def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool,
@@ -189,7 +195,7 @@ def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool,
                 preds = scatter_set(preds, ex.dst, ex.src, mask=keep)
             frontier, n = compact(ex.dst, keep, fcap)
             deg_dst = graph.row_offsets[ex.dst + 1] - graph.row_offsets[ex.dst]
-            m_f_next = jnp.sum(jnp.where(keep, deg_dst, 0))
+            m_f_next = _i32(jnp.sum(jnp.where(keep, deg_dst, 0)))
             overflow = (ex.total > cap) | (n > fcap) | rebuild_ovf
             return (labels, preds, frontier, n, m_f_next,
                     jnp.bool_(True), ex.total, overflow)
@@ -262,9 +268,9 @@ def _pull_step(graph: DeviceGraph, fcap: int, mark_preds: bool,
         reached = (samples[1:] - samples[:-1]) > 0
     new_mask = (state.labels == INVALID) & reached
     labels = jnp.where(new_mask, depth, state.labels)
-    n = jnp.sum(new_mask.astype(jnp.int32))
+    n = _i32(jnp.sum(new_mask.astype(jnp.int32)))
     deg = graph.row_offsets[1:] - graph.row_offsets[:-1]
-    m_f_next = jnp.sum(jnp.where(new_mask, deg, 0))
+    m_f_next = _i32(jnp.sum(jnp.where(new_mask, deg, 0)))
     edges = jnp.int32(min(graph.num_edges, 2**31 - 1))
     # Skip materializing the queue: the frontier IS labels == depth.
     return (labels, state.preds, state.frontier, n, m_f_next,
@@ -297,7 +303,7 @@ def _bfs_init(graph: DeviceGraph, src: jax.Array, fcap: int,
         labels=labels, preds=preds,
         frontier=jnp.zeros((fcap,), jnp.int32).at[0].set(src),
         n=jnp.int32(1),
-        m_f=(graph.row_offsets[src + 1] - graph.row_offsets[src]),
+        m_f=_i32(graph.row_offsets[src + 1] - graph.row_offsets[src]),
         fvalid=jnp.bool_(True), use_pull=jnp.bool_(False),
         unexplored=jnp.float32(graph.num_edges),
         stats=init_stats(),
@@ -339,8 +345,13 @@ def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
             # optimal decision is memoryless in m_f alone: pull iff the
             # frontier's edge volume exceeds the break-even threshold.
             # ``alpha`` keeps its Beamer direction (bigger = pull more).
-            use_pull = m_f.astype(jnp.float32) * jnp.float32(alpha) > \
-                jnp.float32(graph.num_edges / 32.0)
+            # With the queue unmaterialized (fvalid=False) a push must
+            # first pay a v-scale lazy rebuild, so the pull threshold
+            # drops sharply there (pull is ~7ms flat; rebuild ~10ms).
+            thresh = jnp.where(state.fvalid,
+                               jnp.float32(graph.num_edges / 32.0),
+                               jnp.float32(graph.num_edges / 4096.0))
+            use_pull = m_f.astype(jnp.float32) * jnp.float32(alpha) > thresh
             (labels, preds, frontier, n, m_f_next, fvalid, edges,
              overflow) = jax.lax.cond(
                 use_pull,

@@ -166,6 +166,9 @@ def _cc_loop(graph: DeviceGraph, pallas: bool = False):
     stats = init_stats()
 
     # Phase 1 — neighbor-round linking: hook v to its j-th neighbor.
+    # One doubling step per hook round; no fixpoint here (the modal
+    # estimate below only needs comp values to CONCENTRATE, not to be
+    # canonical, and every v-scale random gather costs ~10ms at 1M).
     for j in range(NEIGHBOR_ROUNDS):
         has = (jnp.int32(j) < degs) & vmask
         nb = jnp.take(graph.col_indices,
@@ -178,7 +181,11 @@ def _cc_loop(graph: DeviceGraph, pallas: bool = False):
         stats = record_iteration(
             stats, frontier_len=jnp.sum(differs.astype(jnp.int32)),
             edges=jnp.int32(min(graph.num_nodes, 2**31 - 1)))
-    comp = _jump_fixpoint(comp)
+
+    # One more doubling before the estimate: trees are depth<=2 after the
+    # link rounds, so a single step lands nearly all giant members on one
+    # representative value.
+    comp = jnp.take(comp, comp)
 
     # Phase 2 — modal component estimate from a strided vertex sample.
     stride = max(1, graph.num_nodes // MODE_SAMPLES)

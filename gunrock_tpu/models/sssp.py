@@ -107,9 +107,11 @@ def _pull_relax(graph: DeviceGraph, state: _State):
 
 
 def _mask_stats(graph, mask):
-    n = jnp.sum(mask.astype(jnp.int32))
+    # int32-clipped: jnp.sum promotes to int64 under x64 (--64bit-SizeT)
+    i32 = lambda x: jnp.minimum(x, 2**31 - 1).astype(jnp.int32)
+    n = i32(jnp.sum(mask.astype(jnp.int32)))
     deg = graph.row_offsets[1:] - graph.row_offsets[:-1]
-    m_f = jnp.sum(jnp.where(mask, deg, 0))
+    m_f = i32(jnp.sum(jnp.where(mask, deg, 0)))
     return n, m_f
 
 
@@ -223,7 +225,9 @@ def _sssp_init(graph: DeviceGraph, src: jax.Array, mode: str,
         dist=jnp.full((v_pad,), INF, jnp.float32).at[src].set(0.0),
         fmask=(jnp.arange(v_pad, dtype=jnp.int32) == src),
         n=jnp.int32(1),
-        m_f=(graph.row_offsets[src + 1] - graph.row_offsets[src]),
+        m_f=jnp.minimum(graph.row_offsets[src + 1] -
+                        graph.row_offsets[src],
+                        2**31 - 1).astype(jnp.int32),
         active=jnp.zeros((v_pad,), jnp.bool_),
         level=jnp.float32(delta if mode == "nearfar" else 0.0),
         stats=init_stats(),

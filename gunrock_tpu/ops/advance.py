@@ -78,7 +78,10 @@ def _expand_csr(row_offsets: jax.Array, col_indices: jax.Array,
         jnp.take(row_offsets, f + 1,
                  indices_are_sorted=sorted_frontier) - start, 0)
     ends = jnp.cumsum(deg)                     # inclusive scan
-    total = ends[-1] if cin > 0 else jnp.int32(0)
+    # total is a stat/overflow probe: int32 (clipped) regardless of the
+    # offsets dtype so loop-state dtypes stay stable under --64bit-SizeT.
+    total = jnp.minimum(ends[-1], 2**31 - 1).astype(jnp.int32) \
+        if cin > 0 else jnp.int32(0)
 
     # Which frontier segment does output lane j land in? Instead of a
     # per-lane binary search over the scanned degrees (the reference's
@@ -86,17 +89,28 @@ def _expand_csr(row_offsets: jax.Array, col_indices: jax.Array,
     # gathers per lane, pathologically slow on TPU), scatter a +1 marker
     # at every segment start and take a running sum: rank[j] = number of
     # segment starts at or before j, minus one. Zero-degree segments
-    # collapse onto the next start and own no lanes, as required.
+    # collapse onto the next start (multiple +1s at one position) so
+    # rank still equals the FRONTIER slot index — filtering them out
+    # would desynchronize f[rank] whenever a directed frontier contains
+    # an out-degree-0 vertex.
     seg_starts = ends - deg                    # start position per segment
-    markers = jnp.zeros((out_cap,), jnp.int32).at[
-        jnp.where(valid & (deg > 0), seg_starts, out_cap)
-    ].add(1, mode="drop")
+    pos = jnp.where(valid, seg_starts, out_cap)
+    markers = jnp.zeros((out_cap,), jnp.int32).at[pos].add(1, mode="drop")
     rank = jnp.cumsum(markers) - 1             # (out_cap,)
     rank_c = jnp.clip(rank, 0, cin - 1)
-    seg_end = ends[rank_c]
-    seg_start = seg_end - deg[rank_c]
     j = jnp.arange(out_cap, dtype=jnp.int32)
-    eid = start[rank_c] + (j - seg_start)
+    # eid[j] = start[rank] + (j - seg_start[rank]) = j + offset[rank]
+    # with offset = start - seg_start constant per segment. Scattering
+    # the TELESCOPING offset deltas at segment starts and cumsumming
+    # replaces three rank-indexed cap-scale gathers with one cap-scale
+    # scan; collapsed zero-degree segments' deltas sum correctly at the
+    # shared position.
+    offset = start - seg_starts
+    off_prev = jnp.concatenate(
+        [offset[:1], offset[1:] - offset[:-1]])
+    odeltas = jnp.zeros((out_cap,), offset.dtype).at[pos].add(
+        off_prev, mode="drop")
+    eid = j + jnp.cumsum(odeltas)
     mask = (j < total) & (rank >= 0)
     if sorted_frontier:
         # Sorted frontier => eids ascend monotonically across lanes

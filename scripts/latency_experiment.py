@@ -24,6 +24,11 @@ if "host_platform_device_count" not in flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+
+# a sitecustomize may have pre-registered an accelerator backend; force
+# the virtual CPU mesh after import (backends initialize lazily)
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 
 import gunrock_tpu as gt  # noqa: E402

@@ -102,3 +102,33 @@ def test_write_read_binary(tmp_path):
     g2 = gt.CsrGraph.read_binary(p)
     assert np.array_equal(g.row_offsets, g2.row_offsets)
     assert np.allclose(g.edge_values, g2.edge_values)
+
+
+def test_sizet64_offsets_oracle(rmat_small):
+    """--64bit-SizeT analogue: int64 offsets through BFS/SSSP
+    (reference util/test_utils.h)."""
+    import jax
+    if not jax.config.jax_enable_x64:
+        import subprocess, sys, os
+        env = dict(os.environ, JAX_ENABLE_X64="1", JAX_PLATFORMS="cpu")
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "import sys; sys.path.insert(0, %r);"
+            "import numpy as np, gunrock_tpu as gt;"
+            "from gunrock_tpu.utils.reference import cpu_bfs;"
+            "from gunrock_tpu.models.bfs import bfs_device;"
+            "g = gt.io.rmat(scale=9, edge_factor=6, seed=5, undirected=True);"
+            "dg = gt.to_device(g, with_csc=True, sizet64=True);"
+            "assert str(dg.row_offsets.dtype) == 'int64', dg.row_offsets.dtype;"
+            "lab, _, st = bfs_device(dg, 0, direction_optimized=True,"
+            " pallas_pull=False);"
+            "assert np.array_equal(np.asarray(lab)[:g.num_nodes],"
+            " cpu_bfs(g, 0));"
+            "print('OK')"
+        ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=300)
+        assert "OK" in out.stdout, out.stderr[-2000:]
+    # sizet64 without x64 mode must fail loudly, not silently downcast
+    with pytest.raises(ValueError, match="x64"):
+        gt.to_device(rmat_small, sizet64=True)

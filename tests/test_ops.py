@@ -124,3 +124,20 @@ def test_row_reduce_sorted_matches_segment_ops(rmat_small):
     nz = deg > 0
     np.testing.assert_allclose(np.asarray(got_min)[nz],
                                np.asarray(ref_min)[nz], rtol=1e-6)
+
+
+def test_expand_zero_outdegree_frontier_vertex():
+    """Directed frontier containing an out-degree-0 vertex must not
+    desynchronize rank/src (regression: rank markers skipped zero-degree
+    segments, so f[rank] pointed one slot early)."""
+    import jax.numpy as jnp
+    from gunrock_tpu.ops.advance import expand
+    g = gt.from_coo(8, np.array([0, 0, 2]), np.array([3, 4, 5]),
+                    undirected=False)
+    dg = gt.to_device(g)
+    fr = jnp.asarray(np.array([0, 1, 2] + [7] * 5, dtype=np.int32))
+    ex = expand(dg, fr, jnp.int32(3), 8, sorted_frontier=True)
+    assert int(ex.total) == 3
+    np.testing.assert_array_equal(np.asarray(ex.src)[:3], [0, 0, 2])
+    np.testing.assert_array_equal(np.asarray(ex.dst)[:3], [3, 4, 5])
+    np.testing.assert_array_equal(np.asarray(ex.eid)[:3], [0, 1, 2])

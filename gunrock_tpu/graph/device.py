@@ -226,6 +226,7 @@ def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int,
 
     ``K`` balances the kernel's two costs: in-VMEM gather rounds per block
     scale as 1/K (smaller table slice), result sampling scales as K·V.
+    Measured optimum on rmat n20 is K=32 (value pass 188 -> 132 ms).
     """
     R_base = _bitmask_rows(v_pad)
     rpg = max(-(-R_base // K), 8)
@@ -348,7 +349,7 @@ def to_device(
     with_blocked_csc: bool = False,
     with_blocked_values: bool = False,
     blocked_block_rows: Optional[int] = None,
-    blocked_groups: int = 16,
+    blocked_groups: int = 32,
     blocked_cache: Optional[str] = None,
     sizet64: Optional[bool] = None,
 ) -> DeviceGraph:

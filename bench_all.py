@@ -172,10 +172,14 @@ def main():
         del dgg
 
     if want("tc"):
+        # TC wedge volume on hub-heavy rmat grows superlinearly; the TC
+        # row uses a smaller standard graph (reference TC benches do the
+        # same, doc/stats: coAuthors/road-class graphs).
         from gunrock_tpu.models.tc import tc
-        t0 = time.perf_counter()
-        res = tc(g)
-        emit(f"tc_rmat{SCALE}", res.info["process_ms"],
+        gt_small = gt.io.rmat(scale=17, edge_factor=8, seed=1,
+                              undirected=True)
+        res = tc(gt_small)
+        emit("tc_rmat17", res.info["process_ms"],
              res.info["wedges_probed"],
              {"triangles": res.total})
 

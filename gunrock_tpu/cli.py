@@ -280,13 +280,32 @@ def _run_hits(args, g, src):
 def _run_salsa(args, g, src):
     from .models import salsa
     res = salsa(g, max_iters=args.max_iter)
-    return res.info, True
+    ok = True
+    if not args.quick:
+        hub, auth = oracle.cpu_salsa(g, args.max_iter)
+        ok = _report(bool(np.allclose(res.hubs, hub, rtol=1e-3, atol=1e-5)
+                          and np.allclose(res.auths, auth, rtol=1e-3,
+                                          atol=1e-5)), "salsa", args.quiet)
+    return res.info, ok
 
 
 def _run_wtf(args, g, src):
     from .models import wtf
     res = wtf(g, src, alpha=args.alpha, max_iters=args.max_iter)
-    return res.info, True
+    ok = True
+    if not args.quick:
+        ref, ppr = oracle.cpu_wtf(g, src, alpha=args.alpha,
+                                  max_iters=args.max_iter)
+        # Compare the top-k score VALUES (tie ordering may differ) and
+        # the phase-1 PPR vector.
+        k = res.scores.shape[0]
+        ref_top = np.sort(ref)[::-1][:k]
+        ok = _report(bool(
+            np.allclose(res.ppr_ranks, ppr, rtol=1e-3, atol=1e-6)
+            and np.allclose(np.sort(res.scores)[::-1], ref_top,
+                            rtol=1e-3, atol=1e-6)),
+            "wtf", args.quiet)
+    return res.info, ok
 
 
 def _run_topk(args, g, src):

@@ -235,8 +235,18 @@ def _bc_pull(graph: DeviceGraph, src: int, chunk: int = 16):
                                jnp.int32(lo), chunk=chunk))
         hi = lo - 1
     bc_vals = jnp.where(jnp.arange(v_pad) == src, 0.0, delta)
+    # Real traversal stats (the push path records these per level): the
+    # forward phase visits every out-edge of each reached vertex once,
+    # so edges_queued = degree sum over the component — bc() then emits
+    # m_teps like the reference (util/info.cuh:1431).
+    reached = labels >= 0
+    deg = graph.row_offsets[1:] - graph.row_offsets[:-1]
+    edges_q = jnp.sum(jnp.where(reached, deg, 0)).astype(jnp.float32)
+    nodes_q = jnp.sum(reached.astype(jnp.int32)).astype(jnp.float32)
     stats = init_stats()
-    stats = dataclasses.replace(stats, iteration=jnp.int32(depth))
+    stats = dataclasses.replace(stats, iteration=jnp.int32(depth),
+                                edges_queued=edges_q,
+                                nodes_queued=nodes_q)
     return bc_vals, sigma, labels, stats
 
 

@@ -236,14 +236,37 @@ def cc_device(graph: DeviceGraph):
     return _cc_jit(graph, pallas=use_pallas)
 
 
+def _is_symmetric(graph: CsrGraph) -> bool:
+    """Probabilistic exact symmetry check: keyed-mix multiset hash of
+    (src, dst) vs (dst, src), O(E) vectorized. Collisions are ~2^-64."""
+    if graph.undirected or graph.num_edges == 0:
+        return True
+    a = graph.edge_sources().astype(np.uint64)
+    b = graph.col_indices.astype(np.uint64)
+    k1, k2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
+    with np.errstate(over="ignore"):
+        fwd = int((a * k1 + b * k2).sum(dtype=np.uint64))
+        rev = int((b * k1 + a * k2).sum(dtype=np.uint64))
+    return fwd == rev
+
+
 def cc(graph: Union[CsrGraph, DeviceGraph]) -> CcResult:
     """C API parity: ``gunrock_cc`` (``gunrock.h:227``). The input is
     treated as undirected connectivity (the reference expects symmetric
-    edges; pass an undirected/symmetrized graph)."""
+    edges); a directed CsrGraph is symmetrized here so the sampled
+    remainder hooking (which walks out-edges only) stays correct —
+    components are then weakly-connected components."""
     timer = Timer()
     num_nodes = graph.num_nodes
+    symmetrized = False
     if isinstance(graph, CsrGraph):
         with timer.time("preprocess_ms"):
+            if not _is_symmetric(graph):
+                from ..graph.csr import from_coo
+                graph = from_coo(graph.num_nodes, graph.edge_sources(),
+                                 graph.col_indices, undirected=True,
+                                 remove_self_loops=False)
+                symmetrized = True
             dgraph = to_device(graph, with_edge_src=True)
     else:
         dgraph = graph
@@ -258,6 +281,7 @@ def cc(graph: Union[CsrGraph, DeviceGraph]) -> CcResult:
         timer=timer,
         edges_visited=int(dgraph.num_edges),
         extra={"num_components": int(num_components),
+               "symmetrized": symmetrized,
                "search_depth": int(stats.iteration)},
     )
     return CcResult(components=comp_np, num_components=int(num_components),

@@ -71,6 +71,9 @@ def _hits_loop(graph: DeviceGraph, rev: DeviceGraph, max_iters: jax.Array):
 
 
 _hits_jit = jax.jit(_hits_loop, static_argnames=())
+# Module-level so repeated rev=None calls reuse one compiled executable
+# (a lambda inside hits_device would recompile on every invocation).
+_hits_jit_norev = jax.jit(lambda g, it: _hits_loop(g, None, it))
 
 
 def hits_device(graph: DeviceGraph, max_iters: int = 50,
@@ -78,8 +81,7 @@ def hits_device(graph: DeviceGraph, max_iters: int = 50,
     if not graph.has_csc or graph.edge_src is None:
         raise ValueError("HITS needs to_device(with_csc=True, with_edge_src=True)")
     if rev is None:
-        return jax.jit(lambda g, it: _hits_loop(g, None, it))(
-            graph, jnp.int32(max_iters))
+        return _hits_jit_norev(graph, jnp.int32(max_iters))
     return _hits_jit(graph, rev, jnp.int32(max_iters))
 
 

@@ -72,6 +72,8 @@ def _salsa_loop(graph: DeviceGraph, rev, max_iters: jax.Array):
 
 
 _salsa_jit = jax.jit(_salsa_loop)
+# Module-level so repeated rev=None calls reuse one compiled executable.
+_salsa_jit_norev = jax.jit(lambda g, it: _salsa_loop(g, None, it))
 
 
 def salsa_device(graph: DeviceGraph, max_iters: int = 50,
@@ -79,8 +81,7 @@ def salsa_device(graph: DeviceGraph, max_iters: int = 50,
     if not graph.has_csc or graph.edge_src is None:
         raise ValueError("SALSA needs to_device(with_csc=True, with_edge_src=True)")
     if rev is None:
-        return jax.jit(lambda g, it: _salsa_loop(g, None, it))(
-            graph, jnp.int32(max_iters))
+        return _salsa_jit_norev(graph, jnp.int32(max_iters))
     return _salsa_jit(graph, rev, jnp.int32(max_iters))
 
 

@@ -226,8 +226,16 @@ def _make_bfs_fn(pg: PartitionedGraph, *, fcap: int, out_cap: int,
                         fvalid, lambda: (frontier, n),
                         lambda: frontier_from_mask(labels == depth - 1,
                                                    fcap))
-                    return push(row, col, deg,
-                                (labels, preds, frontier, n, m_f), depth)
+                    # A rebuilt frontier can exceed fcap when
+                    # queue_sizing < 1: clamp AND surface the truncation
+                    # so the sizing retry loop engages (the single-chip
+                    # path's rebuild_ovf guard, models/bfs.py).
+                    rebuild_ovf = n > fcap
+                    n = jnp.minimum(n, fcap)
+                    st2, e_it, ovf_p, sent = push(
+                        row, col, deg,
+                        (labels, preds, frontier, n, m_f), depth)
+                    return st2, e_it, ovf_p | rebuild_ovf, sent
 
                 vary = lambda t: jax.tree.map(lambda x: pvary(x, axis), t)
                 new_state, e_it, overflow, sent = jax.lax.cond(

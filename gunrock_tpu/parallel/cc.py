@@ -91,6 +91,31 @@ def _make_cc_fn(pg: PartitionedGraph, *, comm_latency: int, axis: str,
                 cond, body, (comp, pvary(jnp.bool_(True), axis)))
             return comp
 
+        def global_collapse(comp):
+            """Pointer-jump through a full all-gathered representative
+            snapshot: cross-shard trees collapse to their snapshot roots,
+            keeping superstep count polylogarithmic on high-diameter
+            graphs where boundary-only min-propagation would otherwise
+            cross one boundary edge per superstep. O(V) comm, run every
+            GLOBAL_EVERY supersteps only."""
+            from .mesh import pvary
+            g = jax.lax.all_gather(comp, axis, tiled=True)   # (p*S,)
+
+            def cond(c):
+                _, changed = c
+                return changed
+
+            def body(c):
+                comp, _ = c
+                j = jnp.minimum(comp, g[jnp.clip(comp, 0, p * S - 1)])
+                return j, jnp.any(j != comp)
+
+            comp, _ = jax.lax.while_loop(
+                cond, body, (comp, pvary(jnp.bool_(True), axis)))
+            return comp
+
+        GLOBAL_EVERY = 8
+
         def cond(carry):
             comp, changed, it = carry
             return (changed > 0) & (it < max_iters)
@@ -106,8 +131,12 @@ def _make_cc_fn(pg: PartitionedGraph, *, comm_latency: int, axis: str,
             nbr = jnp.where(evalid, table[col_safe], jnp.int32(0x7FFFFFFF))
             m = row_reduce_sorted(nbr, row, op="min")
             hooked = jnp.minimum(comp, m)
-            # Local pointer jumping (full collapse, comm-free).
+            # Local pointer jumping (full collapse, comm-free), plus a
+            # periodic global collapse rung for cross-shard chains.
             jumped = local_collapse(hooked)
+            jumped = jax.lax.cond(
+                (it % GLOBAL_EVERY) == GLOBAL_EVERY - 1,
+                global_collapse, lambda c: c, jumped)
             changed_local = jnp.sum((jumped != comp).astype(jnp.int32))
             changed = jax.lax.psum(changed_local, axis)
             return jumped, changed, it + 1

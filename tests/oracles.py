@@ -5,4 +5,5 @@ the test-suite validate against the same reference implementations
 
 from gunrock_tpu.utils.reference import (  # noqa: F401
     cpu_bfs, cpu_sssp, cpu_pagerank, cpu_cc, cpu_bc, cpu_hits,
+    cpu_salsa, cpu_wtf,
 )

@@ -38,6 +38,25 @@ def test_salsa_mass_conservation(directed_graph):
     assert res.auths.sum() > 0
 
 
+def test_salsa_oracle(directed_graph):
+    from oracles import cpu_salsa
+    res = gt.salsa(directed_graph, max_iters=20)
+    hub_exp, auth_exp = cpu_salsa(directed_graph, max_iters=20)
+    np.testing.assert_allclose(res.hubs, hub_exp, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(res.auths, auth_exp, rtol=1e-3, atol=1e-5)
+
+
+def test_wtf_oracle(directed_graph):
+    from oracles import cpu_wtf
+    res = gt.wtf(directed_graph, src=0, max_iters=30)
+    ref, ppr = cpu_wtf(directed_graph, 0, max_iters=30)
+    np.testing.assert_allclose(res.ppr_ranks, ppr, rtol=1e-3, atol=1e-6)
+    k = res.scores.shape[0]
+    np.testing.assert_allclose(np.sort(res.scores)[::-1],
+                               np.sort(ref)[::-1][:k],
+                               rtol=1e-3, atol=1e-6)
+
+
 def test_salsa_cycle_uniform():
     # directed 4-cycle: perfectly symmetric -> uniform scores.
     g = gt.from_coo(4, [0, 1, 2, 3], [1, 2, 3, 0])

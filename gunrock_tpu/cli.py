@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="number of timed runs (reference --iteration-num)")
     r.add_argument("--quick", action="store_true",
                    help="skip CPU reference validation (reference --quick)")
+    r.add_argument("--instrumented", action="store_true",
+                   help="collect per-iteration kernel records "
+                        "(reference --instrumented; bfs/sssp/pr/bc)")
     r.add_argument("--quiet", action="store_true")
     r.add_argument("--queue-sizing", type=float, default=1.0,
                    help="frontier capacity factor (reference --queue-sizing)")
@@ -177,7 +180,8 @@ def _run_bfs(args, g, src):
                   direction_optimized=args.direction_optimized,
                   alpha=args.do_a, beta=args.do_b,
                   queue_sizing=args.queue_sizing,
-                  idempotence=args.idempotence)
+                  idempotence=args.idempotence,
+                  instrumented=args.instrumented)
     ok = True
     if not args.quick:
         ok = _report(bool(np.array_equal(res.labels, oracle.cpu_bfs(g, src))),
@@ -197,7 +201,8 @@ def _run_sssp(args, g, src):
         from .models import sssp
         res = sssp(g, src, mark_preds=args.mark_pred, mode=args.mode,
                    delta_factor=args.delta_factor,
-                   queue_sizing=args.queue_sizing)
+                   queue_sizing=args.queue_sizing,
+                   instrumented=args.instrumented)
     ok = True
     if not args.quick:
         ref = oracle.cpu_sssp(g, src)
@@ -217,7 +222,8 @@ def _run_pr(args, g, src):
     else:
         from .models import pagerank
         res = pagerank(g, damping=0.85, threshold=args.error,
-                       max_iters=args.max_iter, normalized=args.normalized)
+                       max_iters=args.max_iter, normalized=args.normalized,
+                       instrumented=args.instrumented)
     ok = True
     if not args.quick:
         ref = oracle.cpu_pagerank(g, 0.85, args.max_iter, args.error,
@@ -256,7 +262,8 @@ def _run_bc(args, g, src):
                          seed=args.partition_seed)
     else:
         from .models import bc
-        res = bc(g, src, queue_sizing=args.queue_sizing)
+        res = bc(g, src, queue_sizing=args.queue_sizing,
+                 instrumented=args.instrumented)
     ok = True
     if not args.quick:
         ref = oracle.cpu_bc(g, src)

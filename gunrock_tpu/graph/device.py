@@ -364,8 +364,16 @@ def to_device(
     the blocked pallas layouts stay int32 and are refused beyond int32
     range.
     """
-    v_pad = round_up(max(g.num_nodes, 1))
-    e_pad = round_up(max(g.num_edges, 1))
+    # 8192 = the Pallas samplers' DMA chunk (ops.pallas_kernels._CHUNK_ROWS
+    # * 128): padding vertex/edge arrays to chunk multiples lets
+    # sample_sorted consume them without a per-call copy-pad. Small
+    # graphs stay lane-padded (the samplers' internal copy-pad is free
+    # there, and CPU interpret-mode tests scale with v_pad).
+    def _pad(sz: int) -> int:
+        return round_up(max(sz, 1), 8192 if sz >= 8192 else LANE)
+
+    v_pad = _pad(g.num_nodes)
+    e_pad = _pad(g.num_edges)
     if sizet64 is None:
         sizet64 = e_pad >= 2**31 - 2
     if sizet64 and (with_blocked_csc or with_blocked_values):

@@ -215,24 +215,41 @@ def _bc_pull_bwd_chunk(graph: DeviceGraph, labels, sigma, delta, d_hi,
     return jax.lax.while_loop(cond, body, (delta, d_hi))
 
 
-def _bc_pull(graph: DeviceGraph, src: int, chunk: int = 16):
+def _bc_pull(graph: DeviceGraph, src: int, chunk: int = 16,
+             instrument=None):
+    import time as _time
+    if instrument is not None:
+        chunk = 1
     v_pad = graph.v_pad
     labels = jnp.full((v_pad,), -1, jnp.int32).at[src].set(0)
     sigma = jnp.zeros((v_pad,), jnp.float32).at[src].set(1.0)
     d = jnp.int32(1)
+    t0 = _time.perf_counter()
     while True:
         labels, sigma, d, changed = jax.block_until_ready(
             _bc_pull_fwd_chunk(graph, labels, sigma, d, chunk=chunk))
+        if instrument is not None:
+            t1 = _time.perf_counter()
+            instrument.append({"phase": "forward", "level": int(d) - 1,
+                               "ms": (t1 - t0) * 1e3,
+                               "discovered": int(changed)})
+            t0 = t1
         if int(changed) == 0:
             break
     depth = int(d) - 1          # last level that discovered nothing
     delta = jnp.zeros((v_pad,), jnp.float32)
     hi = depth - 1
+    t0 = _time.perf_counter()
     while hi >= 0:
         lo = max(0, hi - chunk + 1)
         delta, _ = jax.block_until_ready(
             _bc_pull_bwd_chunk(graph, labels, sigma, delta, jnp.int32(hi),
                                jnp.int32(lo), chunk=chunk))
+        if instrument is not None:
+            t1 = _time.perf_counter()
+            instrument.append({"phase": "backward", "level": hi,
+                               "ms": (t1 - t0) * 1e3})
+            t0 = t1
         hi = lo - 1
     bc_vals = jnp.where(jnp.arange(v_pad) == src, 0.0, delta)
     # Real traversal stats (the push path records these per level): the
@@ -250,9 +267,10 @@ def _bc_pull(graph: DeviceGraph, src: int, chunk: int = 16):
     return bc_vals, sigma, labels, stats
 
 
-def bc_device(graph: DeviceGraph, src, *, queue_sizing: float = 1.0):
+def bc_device(graph: DeviceGraph, src, *, queue_sizing: float = 1.0,
+              instrument=None):
     if (jax.default_backend() == "tpu" and graph.has_blocked_values):
-        return _bc_pull(graph, int(src))
+        return _bc_pull(graph, int(src), instrument=instrument)
     fcap = max(128, int(graph.v_pad * min(queue_sizing, 1.0)))
     out_cap = max(128, int(graph.e_pad * min(queue_sizing, 1.0)))
     caps = tuple(capacity_ladder(out_cap))
@@ -261,11 +279,13 @@ def bc_device(graph: DeviceGraph, src, *, queue_sizing: float = 1.0):
 
 def bc(graph: Union[CsrGraph, DeviceGraph],
        src: Optional[Union[int, str]] = 0, *,
-       queue_sizing: float = 1.0) -> BcResult:
+       queue_sizing: float = 1.0, instrumented: bool = False) -> BcResult:
     """Betweenness centrality (C API parity: ``gunrock_bc``,
     ``gunrock.h:200``). ``src=None`` or ``-1`` accumulates over all
-    sources (exact BC), matching the reference's ``--src=-1`` mode."""
+    sources (exact BC), matching the reference's ``--src=-1`` mode.
+    ``instrumented`` collects per-level phase records (TPU pull path)."""
     timer = Timer()
+    per_iter: Optional[list] = [] if instrumented else None
     num_nodes = graph.num_nodes
     if isinstance(graph, CsrGraph):
         if src == "largestdegree":
@@ -287,7 +307,8 @@ def bc(graph: Union[CsrGraph, DeviceGraph],
     with timer.time("process_ms"):
         for s in sources:
             bc_vals, sigma, labels, stats = jax.block_until_ready(
-                bc_device(dgraph, s, queue_sizing=queue_sizing))
+                bc_device(dgraph, s, queue_sizing=queue_sizing,
+                          instrument=per_iter))
             bc_acc += np.asarray(bc_vals)[:num_nodes]
 
     bc_np = (bc_acc * 0.5).astype(np.float32)
@@ -295,7 +316,9 @@ def bc(graph: Union[CsrGraph, DeviceGraph],
         primitive="bc", graph=dgraph, stats=stats, timer=timer,
         edges_visited=2 * int(stats.edges_queued) * len(list(sources)),
         extra={"src": -1 if len(list(sources)) > 1 else int(sources[0]),
-               "search_depth": int(stats.iteration)},
+               "instrumented": instrumented,
+               "search_depth": int(stats.iteration),
+               **({"per_iteration": per_iter} if instrumented else {})},
     )
     return BcResult(bc_values=bc_np,
                     sigmas=np.asarray(sigma)[:num_nodes],

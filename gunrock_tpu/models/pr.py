@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -54,9 +54,9 @@ class _State:
     stats: LoopStats
 
 
-def _pr_loop(graph: DeviceGraph, max_iters: jax.Array,
+def _pr_loop(graph: DeviceGraph, state, max_iters: jax.Array,
              threshold: jax.Array, *, damping: float, normalized: bool,
-             compensate: bool, pallas: bool = False):
+             compensate: bool, pallas: bool = False, init: bool = False):
     v_pad = graph.v_pad
     n = graph.num_nodes
     vmask = jnp.arange(v_pad, dtype=jnp.int32) < n
@@ -65,6 +65,9 @@ def _pr_loop(graph: DeviceGraph, max_iters: jax.Array,
     init_rank = jnp.where(vmask, (1.0 / n) if normalized else 1.0 - damping,
                           0.0).astype(jnp.float32)
     reset = jnp.float32((1.0 - damping) / n if normalized else 1.0 - damping)
+    if init:
+        state = _State(rank=init_rank, num_updated=jnp.int32(1),
+                       stats=init_stats())
 
     def cond(state: _State):
         return (state.num_updated > 0) & (state.stats.iteration < max_iters)
@@ -96,40 +99,70 @@ def _pr_loop(graph: DeviceGraph, max_iters: jax.Array,
             edges=jnp.int32(min(graph.num_edges, 2**31 - 1)))
         return _State(rank=new_rank, num_updated=num_updated, stats=stats)
 
-    init = _State(rank=init_rank, num_updated=jnp.int32(1),
-                  stats=init_stats())
-    final = jax.lax.while_loop(cond, body, init)
-    order = jnp.argsort(-final.rank)  # descending rank (reference PR app
+    final = jax.lax.while_loop(cond, body, state)
+    probe = jnp.stack([final.stats.iteration, final.num_updated])
+    return final, probe
+
+
+@partial(jax.jit, static_argnames=())
+def _pr_extract(state: _State):
+    order = jnp.argsort(-state.rank)  # descending rank (reference PR app
     # outputs (node_id, rank) sorted by rank, app/pr/pr_app.cu)
-    return final.rank, order.astype(jnp.int32), final.stats
+    return state.rank, order.astype(jnp.int32)
 
 
 _pr_jit = jax.jit(
     _pr_loop,
-    static_argnames=("damping", "normalized", "compensate", "pallas"),
+    static_argnames=("damping", "normalized", "compensate", "pallas",
+                     "init"),
 )
 
 
 def pagerank_device(graph: DeviceGraph, *, damping: float = 0.85,
                     threshold: float = 1e-6, max_iters: int = 50,
                     normalized: bool = True, compensate: bool = False,
-                    pallas: bool = None):
+                    pallas: bool = None,
+                    instrument: Optional[list] = None):
+    """``instrument``: pass a list to run one iteration per device call
+    and collect per-iteration wall/updated records (reference
+    ``--instrumented``)."""
     if not graph.has_csc and not graph.has_blocked_values:
         raise ValueError("PageRank needs to_device(with_csc=True)")
     if pallas is None:
         pallas = (jax.default_backend() == "tpu" and
                   graph.has_blocked_values)
-    return _pr_jit(graph, jnp.int32(max_iters), jnp.float32(threshold),
-                   damping=float(damping), normalized=normalized,
-                   compensate=compensate, pallas=pallas)
+
+    def chunk(st, upto, first):
+        return _pr_jit(graph, st, jnp.int32(upto), jnp.float32(threshold),
+                       damping=float(damping), normalized=normalized,
+                       compensate=compensate, pallas=pallas, init=first)
+
+    if instrument is None:
+        state, _ = chunk(None, max_iters, True)
+    else:
+        import time as _time
+        t0 = _time.perf_counter()
+        state, probe = chunk(None, 1, True)
+        while True:
+            it, num_updated = (int(x) for x in np.asarray(probe))
+            t1 = _time.perf_counter()
+            instrument.append({"iteration": it, "ms": (t1 - t0) * 1e3,
+                               "updated": num_updated})
+            t0 = t1
+            if num_updated == 0 or it >= max_iters:
+                break
+            state, probe = chunk(state, it + 1, False)
+    rank, order = _pr_extract(state)
+    return rank, order, state.stats
 
 
 def pagerank(graph: Union[CsrGraph, DeviceGraph], *, damping: float = 0.85,
              threshold: float = 1e-6, max_iters: int = 50,
-             normalized: bool = True,
-             compensate: bool = False) -> PageRankResult:
+             normalized: bool = True, compensate: bool = False,
+             instrumented: bool = False) -> PageRankResult:
     """C API parity: ``gunrock_pagerank`` (``gunrock.h:311``)."""
     timer = Timer()
+    per_iter: Optional[list] = [] if instrumented else None
     num_nodes = graph.num_nodes
     if isinstance(graph, CsrGraph):
         with timer.time("preprocess_ms"):
@@ -141,7 +174,7 @@ def pagerank(graph: Union[CsrGraph, DeviceGraph], *, damping: float = 0.85,
         rank, order, stats = jax.block_until_ready(
             pagerank_device(dgraph, damping=damping, threshold=threshold,
                             max_iters=max_iters, normalized=normalized,
-                            compensate=compensate))
+                            compensate=compensate, instrument=per_iter))
 
     ranks_np = np.asarray(rank)[:num_nodes]
     order_np = np.asarray(order)
@@ -152,6 +185,8 @@ def pagerank(graph: Union[CsrGraph, DeviceGraph], *, damping: float = 0.85,
         edges_visited=int(dgraph.num_edges) * iters,
         extra={"damping": damping, "threshold": threshold,
                "max_iteration": max_iters, "normalized": normalized,
-               "search_depth": iters},
+               "instrumented": instrumented,
+               "search_depth": iters,
+               **({"per_iteration": per_iter} if instrumented else {})},
     )
     return PageRankResult(ranks=ranks_np, node_ids=order_np, info=info)

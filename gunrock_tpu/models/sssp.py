@@ -35,12 +35,19 @@ from ..enactor import (LoopStats, capacity_ladder, dispatch_by_size,
 from ..graph.csr import CsrGraph
 from ..graph.device import DeviceGraph, to_device
 from ..ops.advance import expand
-from ..ops.segment import frontier_from_mask, scatter_min
+from ..ops.segment import (compact, frontier_from_mask,
+                           mask_from_frontier, scatter_set)
 from ..utils.info import make_info
 
 __all__ = ["sssp", "SsspResult", "sssp_device"]
 
 INF = jnp.float32(jnp.inf)
+
+
+def _i32(x):
+    """Clip to int32 (stats/dispatch values) — keeps loop-state dtypes
+    stable when offsets are int64 (--64bit-SizeT)."""
+    return jnp.minimum(x, 2**31 - 1).astype(jnp.int32)
 
 
 @dataclasses.dataclass
@@ -52,14 +59,14 @@ class SsspResult:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["dist", "fmask", "n", "m_f", "active", "level",
+    data_fields=["dist", "frontier", "n", "m_f", "active", "level",
                  "stats"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class _State:
     dist: jax.Array       # (v_pad,) float32
-    fmask: jax.Array      # (v_pad,) bool — current frontier as a mask
+    frontier: jax.Array   # (fcap,) int32 — sorted queue, active first n
     n: jax.Array          # () int32
     m_f: jax.Array        # () int32 — frontier degree sum (next dispatch)
     active: jax.Array     # (v_pad,) bool — improved but not yet relaxed
@@ -67,82 +74,134 @@ class _State:
     stats: LoopStats
 
 
-def _relax(graph: DeviceGraph, state: _State, cap: int, fcap: int):
-    """One push advance relaxation over the frontier mask.
+def _laddered_mf(graph: DeviceGraph, frontier: jax.Array, n: jax.Array,
+                 fcap: int):
+    """Degree sum of the first ``n`` queue lanes, gathering only the
+    smallest ladder rung >= n (a full-fcap gather would put an
+    fcap-scale sorted gather in every round)."""
+    ncaps = []
+    c = 4096
+    while c < fcap:
+        ncaps.append(c)
+        c *= 8
+    ncaps.append(fcap)
 
-    The queue materializes from the mask (sorted by construction), so
-    every expansion gather is monotonic; the one irregular write is the
-    scatter-min into distances. Improvement is detected by a dense
-    vertex-scale compare — no dedup chains, no per-lane winner
-    resolution (the reference's atomicMin race bookkeeping disappears).
+    def mk(ncap):
+        def f(_):
+            fr = jax.lax.dynamic_slice(frontier, (0,), (ncap,)) \
+                if ncap < fcap else frontier
+            lane = jnp.arange(ncap, dtype=jnp.int32)
+            v = jnp.where(lane < n, fr, graph.v_pad - 1)
+            s = jnp.take(graph.row_offsets, v, indices_are_sorted=True)
+            e = jnp.take(graph.row_offsets, v + 1, indices_are_sorted=True)
+            return jnp.sum(jnp.where(lane < n, e - s, 0))
+        return f
+
+    if len(ncaps) == 1:
+        return mk(fcap)(None)
+    return dispatch_by_size(jnp.maximum(n, 1), ncaps, mk, None)
+
+
+def _relax(graph: DeviceGraph, state: _State, cap: int, fcap: int,
+           use_pallas: bool):
+    """One push relaxation round over the frontier queue — every
+    operation is LANE-scale (proportional to the frontier's edge count),
+    no vertex-scale passes:
+
+      1. expand -> eid/rank/src via marker scatters + cumsums (advance.py)
+      2. payload: col/w streamed at sorted eid; dist streamed at sorted
+         src (fused Pallas samplers; XLA sorted takes on CPU)
+      3. winner resolution: sort lanes by (dst, cand) — the run head
+         holds each destination's min — replacing the reference's
+         atomicMin race (sssp_functor.cuh:59-99) with a deterministic
+         sort + head-select
+      4. scatter the improving winners; they are the (already sorted)
+         next frontier.
     """
-    frontier, n0 = frontier_from_mask(state.fmask, fcap)
-    # Input-side laddering: scan only the rung width, not the full queue
-    # (the dispatch size is max(m_f, n), so the rung bounds n too).
     in_cap = min(cap, fcap)
-    frontier = jax.lax.dynamic_slice(frontier, (0,), (in_cap,))
-    ovf = n0 > in_cap
-    n0 = jnp.minimum(n0, in_cap)
-    fr = jnp.where(jnp.arange(in_cap, dtype=jnp.int32) < n0,
-                   frontier, graph.v_pad - 1)
-    ex = expand(graph, fr, n0, cap, sorted_frontier=True)
-    dist_f = jnp.take(state.dist, fr, indices_are_sorted=True)
-    w = jnp.take(graph.edge_values, ex.eid, indices_are_sorted=True)
-    cand = jnp.where(ex.mask, dist_f[ex.rank] + w, INF)
-    dist = scatter_min(state.dist, ex.dst, cand, mask=ex.mask)
-    return dist, ex.total, (ex.total > cap) | ovf
+    frontier = jax.lax.dynamic_slice(state.frontier, (0,), (in_cap,)) \
+        if in_cap < fcap else state.frontier
+    ovf = state.n > in_cap
+    n0 = jnp.minimum(state.n, in_cap)
+    ex = expand(graph, frontier, n0, cap, sorted_frontier=True,
+                with_dst=False)
+    if use_pallas:
+        from ..ops.pallas_kernels import sample_sorted, sample_sorted2
+        dst, w = sample_sorted2(graph.col_indices, graph.edge_values,
+                                ex.eid)
+        dsrc = sample_sorted(state.dist, ex.src)
+    else:
+        dst = jnp.take(graph.col_indices, ex.eid, indices_are_sorted=True)
+        w = jnp.take(graph.edge_values, ex.eid, indices_are_sorted=True)
+        dsrc = jnp.take(state.dist, ex.src, indices_are_sorted=True)
+    cand = jnp.where(ex.mask, dsrc + w, INF)
+    dst = jnp.where(ex.mask, dst, graph.v_pad - 1)
+    # Sort by (dst, cand): the head of each dst run carries its min.
+    sd, sc = jax.lax.sort((dst, cand), num_keys=2)
+    head = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                            sd[1:] != sd[:-1]])
+    d_old = jnp.take(state.dist, sd, indices_are_sorted=True)
+    win = head & (sc < d_old)
+    dist = scatter_set(state.dist, sd, sc, mask=win)
+    # Winners are sorted by construction -> next queue needs no re-sort.
+    nf, n_next = compact(sd, win, fcap, fill=graph.v_pad - 1)
+    m_next = _i32(_laddered_mf(graph, nf, n_next, fcap))
+    overflow = (ex.total > cap) | ovf | (n_next > fcap)
+    return (dist, nf, _i32(n_next), m_next, ex.total, overflow)
 
 
-def _pull_relax(graph: DeviceGraph, state: _State):
+def _pull_relax(graph: DeviceGraph, state: _State, fcap: int):
     """Full-edge pull relaxation through the blocked value kernel:
     cand[v] = min over in-edges of (dist[u] + w) with non-frontier
     sources masked to +inf in the VMEM table. Used when the frontier's
-    edge volume makes a full pass cheaper than push scatters."""
+    edge volume makes a full pass cheaper than push streaming; the
+    vertex-scale mask<->queue conversions here are noise against the
+    full-edge pass."""
     from ..ops.pallas_kernels import pull_vertex_reduce
-    table = jnp.where(state.fmask, state.dist, INF)
+    fmask = mask_from_frontier(state.frontier, state.n, graph.v_pad)
+    table = jnp.where(fmask, state.dist, INF)
     cand = pull_vertex_reduce(table, graph, op="min", wmode="add")
     dist = jnp.minimum(state.dist, cand)
-    edges = jnp.int32(min(graph.num_edges, 2**31 - 1))
-    return dist, edges, jnp.bool_(False)
-
-
-def _mask_stats(graph, mask):
-    # int32-clipped: jnp.sum promotes to int64 under x64 (--64bit-SizeT)
-    i32 = lambda x: jnp.minimum(x, 2**31 - 1).astype(jnp.int32)
-    n = i32(jnp.sum(mask.astype(jnp.int32)))
+    improved = dist < state.dist
+    nf, n_next = frontier_from_mask(improved, fcap)
+    nf = jnp.where(jnp.arange(fcap, dtype=jnp.int32) < n_next, nf,
+                   graph.v_pad - 1)
     deg = graph.row_offsets[1:] - graph.row_offsets[:-1]
-    m_f = i32(jnp.sum(jnp.where(mask, deg, 0)))
-    return n, m_f
+    m_next = _i32(jnp.sum(jnp.where(improved, deg, 0)))
+    edges = jnp.int32(min(graph.num_edges, 2**31 - 1))
+    return (dist, nf, _i32(n_next), m_next, edges,
+            n_next > fcap)
 
 
 def _make_bellman_branch(graph, fcap, use_pallas):
-    def relax_dispatch(state, cap):
-        if use_pallas and cap is None:
-            return _pull_relax(graph, state)
-        return _relax(graph, state, cap, fcap)
-
     def make(cap):
         def step(state: _State):
-            dist, edges, overflow = relax_dispatch(state, cap)
-            improved = dist < state.dist
-            n, m_f = _mask_stats(graph, improved)
-            return dist, improved, n, m_f, state.active, state.level, \
+            if use_pallas and cap is None:
+                out = _pull_relax(graph, state, fcap)
+            else:
+                out = _relax(graph, state, cap, fcap, use_pallas)
+            dist, nf, n, m_f, edges, overflow = out
+            return dist, nf, n, m_f, state.active, state.level, \
                 edges, overflow
         return step
     return make
 
 
 def _make_nearfar_branch(graph, fcap, delta, use_pallas):
+    deg = graph.row_offsets[1:] - graph.row_offsets[:-1]
+
     def make(cap):
         def step(state: _State):
             if use_pallas and cap is None:
-                dist, edges, overflow = _pull_relax(graph, state)
+                out = _pull_relax(graph, state, fcap)
             else:
-                dist, edges, overflow = _relax(graph, state, cap, fcap)
+                out = _relax(graph, state, cap, fcap, use_pallas)
+            dist, nf, n_imp, _, edges, overflow = out
             # Improved vertices enter the pile; the near bucket (below
             # the current threshold) becomes the next frontier
             # (priority_queue Bisect, near_far_pile.cuh:35-60).
-            active = state.active | (dist < state.dist)
+            imp_mask = mask_from_frontier(nf, n_imp, graph.v_pad)
+            active = state.active | imp_mask
             near = active & (dist < state.level)
             active = active & ~near
 
@@ -163,8 +222,12 @@ def _make_nearfar_branch(graph, fcap, delta, use_pallas):
             level, near, active = jax.lax.cond(
                 jnp.any(near), lambda a: a, advance,
                 (state.level, near, active))
-            n, m_f = _mask_stats(graph, near)
-            return dist, near, n, m_f, active, level, edges, overflow
+            nq, n = frontier_from_mask(near, fcap)
+            nq = jnp.where(jnp.arange(fcap, dtype=jnp.int32) < n, nq,
+                           graph.v_pad - 1)
+            m_f = _i32(jnp.sum(jnp.where(near, deg, 0)))
+            return dist, nq, _i32(n), m_f, active, level, edges, \
+                overflow | (n > fcap)
         return step
     return make
 
@@ -180,24 +243,27 @@ def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
     and this mirrors the reference's enactor driving rounds from the
     host."""
     if init:
-        state = _sssp_init(graph, state, mode, delta)
-    use_pallas = pallas and graph.has_blocked_values
+        state = _sssp_init(graph, state, mode, delta, fcap)
+    # pallas => streamed push payload samplers (TPU); the full-edge pull
+    # branch additionally needs the blocked value layout.
+    use_pull = pallas and graph.has_blocked_values
 
     if mode == "nearfar":
-        branch = _make_nearfar_branch(graph, fcap, delta, use_pallas)
+        branch = _make_nearfar_branch(graph, fcap, delta, pallas)
     else:
-        branch = _make_bellman_branch(graph, fcap, use_pallas)
+        branch = _make_bellman_branch(graph, fcap, pallas)
 
     def cond(state: _State):
         return (state.n > 0) & (state.stats.iteration < upto) & \
                (~state.stats.overflow)
 
     def body(state: _State):
-        if use_pallas:
+        if use_pull:
             # Direction dispatch (reference DO vote analogue): a full
-            # pull pass costs ~fixed; push costs ~m_f irregular ops.
+            # pull pass costs ~fixed; the streamed push costs ~40ns per
+            # frontier edge, so pull only wins for very large rounds.
             big = state.m_f > jnp.int32(
-                max(1, min(graph.num_edges // 32, 2**30)))
+                max(1, min(graph.num_edges // 16, 2**30)))
             out = jax.lax.cond(
                 big, branch(None),
                 lambda st: dispatch_by_size(
@@ -206,10 +272,10 @@ def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
         else:
             out = dispatch_by_size(jnp.maximum(state.m_f, state.n), caps,
                                    branch, state)
-        dist, fmask, n, m_f, active, level, edges, overflow = out
+        dist, frontier, n, m_f, active, level, edges, overflow = out
         stats = record_iteration(state.stats, frontier_len=n, edges=edges,
                                  overflow=overflow)
-        return _State(dist=dist, fmask=fmask, n=n, m_f=m_f,
+        return _State(dist=dist, frontier=frontier, n=n, m_f=m_f,
                       active=active, level=level, stats=stats)
 
     out = jax.lax.while_loop(cond, body, state)
@@ -219,11 +285,11 @@ def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
 
 
 def _sssp_init(graph: DeviceGraph, src: jax.Array, mode: str,
-               delta: float) -> _State:
+               delta: float, fcap: int) -> _State:
     v_pad = graph.v_pad
     return _State(
         dist=jnp.full((v_pad,), INF, jnp.float32).at[src].set(0.0),
-        fmask=(jnp.arange(v_pad, dtype=jnp.int32) == src),
+        frontier=jnp.full((fcap,), v_pad - 1, jnp.int32).at[0].set(src),
         n=jnp.int32(1),
         m_f=jnp.minimum(graph.row_offsets[src + 1] -
                         graph.row_offsets[src],
@@ -264,7 +330,12 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
                 mode: str = "bellman", delta: float = 1.0,
                 queue_sizing: float = 1.0,
                 max_iters: Optional[int] = None,
-                chunk_iters: Optional[int] = None):
+                chunk_iters: Optional[int] = None,
+                instrument: Optional[list] = None):
+    """``instrument``: pass a list to enact one round per device call and
+    collect per-round wall-clock records (reference ``--instrumented``
+    kernel stats, ``util/kernel_runtime_stats.cuh``); adds per-call
+    dispatch overhead, exactly like the reference's instrumented runs."""
     if not graph.has_edge_values:
         raise ValueError("SSSP needs to_device(with_edge_values=True)")
     fcap = max(128, int(graph.v_pad * min(queue_sizing, 1.0)))
@@ -272,22 +343,31 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
     caps = tuple(capacity_ladder(out_cap, step=4))
     if max_iters is None:
         max_iters = 4 * graph.num_nodes + 16
-    use_pallas = (jax.default_backend() == "tpu" and
-                  graph.has_blocked_values)
+    use_pallas = jax.default_backend() == "tpu"
     if chunk_iters is None:
         # Bound each device call well under execution watchdogs: big
         # graphs relax at most a few full-edge rounds per call.
         chunk_iters = max(1, min(64, (1 << 27) // max(graph.e_pad, 1) * 8))
+    if instrument is not None:
+        chunk_iters = 1
     def chunk(st, upto, first):
         return _sssp_jit(graph, st, jnp.int32(upto), jnp.float32(delta),
                          fcap=fcap, caps=caps, mode=mode,
                          pallas=use_pallas, init=first)
 
     # Chunked enactment (see bfs_device).
+    import time as _time
+    t0 = _time.perf_counter()
     upto = min(chunk_iters, max_iters)
     state, probe = chunk(jnp.int32(src), upto, True)
     while upto < max_iters:
         it, ovf, n = (int(x) for x in np.asarray(probe))
+        if instrument is not None:
+            t1 = _time.perf_counter()
+            instrument.append({
+                "iteration": it, "ms": (t1 - t0) * 1e3, "frontier": n,
+                "m_f": int(np.asarray(state.m_f))})
+            t0 = t1
         if it < upto or ovf or n == 0:
             break
         upto = min(upto + chunk_iters, max_iters)
@@ -301,10 +381,13 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
 def sssp(graph: Union[CsrGraph, DeviceGraph], src: Union[int, str] = 0, *,
          mark_preds: bool = False, mode: str = "bellman",
          delta_factor: float = 32.0, queue_sizing: float = 1.0,
-         max_iters: Optional[int] = None) -> SsspResult:
+         max_iters: Optional[int] = None,
+         instrumented: bool = False) -> SsspResult:
     """Run SSSP from ``src`` (C API parity: ``gunrock_sssp``,
-    ``gunrock.h:253``; ``mark_preds`` = MARK_PATHS)."""
+    ``gunrock.h:253``; ``mark_preds`` = MARK_PATHS; ``instrumented``
+    collects per-round records into ``info["per_iteration"]``)."""
     timer = Timer()
+    per_iter: Optional[list] = [] if instrumented else None
     num_nodes = graph.num_nodes
     delta = 1.0
     if isinstance(graph, CsrGraph):
@@ -327,7 +410,7 @@ def sssp(graph: Union[CsrGraph, DeviceGraph], src: Union[int, str] = 0, *,
         dist, preds, stats = jax.block_until_ready(
             sssp_device(dgraph, src, mark_preds=mark_preds, mode=mode,
                         delta=delta, queue_sizing=queue_sizing,
-                        max_iters=max_iters))
+                        max_iters=max_iters, instrument=per_iter))
 
     dist_np = np.asarray(dist)[:num_nodes]
     preds_np = np.asarray(preds)[:num_nodes] if mark_preds else None
@@ -337,6 +420,8 @@ def sssp(graph: Union[CsrGraph, DeviceGraph], src: Union[int, str] = 0, *,
         primitive="sssp", graph=dgraph, stats=stats, timer=timer,
         edges_visited=int(degs[reached].sum()),
         extra={"src": src, "mark_paths": mark_preds, "mode": mode,
-               "search_depth": int(stats.iteration)},
+               "instrumented": instrumented,
+               "search_depth": int(stats.iteration),
+               **({"per_iteration": per_iter} if instrumented else {})},
     )
     return SsspResult(distances=dist_np, preds=preds_np, info=info)

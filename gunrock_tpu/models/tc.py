@@ -41,14 +41,14 @@ class TcResult:
     info: dict
 
 
-@partial(jax.jit, static_argnames=("num_edges", "wedge_cap", "probe_steps"))
+@partial(jax.jit, static_argnames=("num_edges", "wedge_cap"))
 def tc_device(row_offsets: jax.Array, col_indices: jax.Array,
-              chunk_src: jax.Array, chunk_dst: jax.Array, *,
-              num_edges: int, wedge_cap: int, probe_steps: int = 32):
+              edge_src: jax.Array, chunk_src: jax.Array,
+              chunk_dst: jax.Array, *, num_edges: int, wedge_cap: int):
     """Per-edge triangle counts for one edge chunk of an oriented CSR."""
     counts, vcounts, wedges = intersect_counts(
-        row_offsets, col_indices, chunk_src, chunk_dst, num_edges,
-        wedge_cap, probe_steps)
+        row_offsets, col_indices, edge_src, chunk_src, chunk_dst,
+        num_edges, wedge_cap)
     return counts, vcounts, jnp.sum(counts, dtype=jnp.int32), wedges
 
 
@@ -83,9 +83,13 @@ def tc(graph: Union[CsrGraph], *, undirected_input: bool = True) -> TcResult:
         row = np.full(v_pad + 1, dag.num_edges, np.int32)
         row[: dag.num_nodes + 1] = dag.row_offsets.astype(np.int32)
         e_pad = round_up(max(dag.num_edges, 1))
-        col = np.zeros(e_pad, np.int32)
+        col = np.full(e_pad, v_pad, np.int32)
         col[: dag.num_edges] = dag.col_indices
         esrc_full = dag.edge_sources().astype(np.int32)
+        # Global per-edge sources for the sort-join probe set; pad lanes
+        # pin to v_pad so they can never match a wedge.
+        esrc_pad = np.full(e_pad, v_pad, np.int32)
+        esrc_pad[: dag.num_edges] = esrc_full
         # Chunk edges so each chunk's wedge count fits the budget.
         wcum = np.concatenate([[0], np.cumsum(per_edge_wedges)])
         bounds = [0]
@@ -99,11 +103,10 @@ def tc(graph: Union[CsrGraph], *, undirected_input: bool = True) -> TcResult:
             (wcum[b] - wcum[a] for a, b in zip(bounds, bounds[1:])),
             default=1)) or 1)
 
-    probe_steps = int(np.ceil(np.log2(max(int(deg.max(initial=1)), 1) + 1))) + 1
-
     with timer.time("process_ms"):
         rowj = jnp.asarray(row)
         colj = jnp.asarray(col)
+        esrcj = jnp.asarray(esrc_pad)
         counts_np = np.zeros(dag.num_edges, np.int32)
         vcounts = np.zeros(g.num_nodes, np.int64)
         total = 0
@@ -113,9 +116,9 @@ def tc(graph: Union[CsrGraph], *, undirected_input: bool = True) -> TcResult:
             csrc[: b - a] = esrc_full[a:b]
             cdst[: b - a] = col[a:b]
             cc, vc, tt, _ = jax.block_until_ready(
-                tc_device(rowj, colj, jnp.asarray(csrc), jnp.asarray(cdst),
-                          num_edges=b - a, wedge_cap=wedge_cap,
-                          probe_steps=probe_steps))
+                tc_device(rowj, colj, esrcj, jnp.asarray(csrc),
+                          jnp.asarray(cdst),
+                          num_edges=b - a, wedge_cap=wedge_cap))
             counts_np[a:b] = np.asarray(cc)[: b - a]
             vcounts += np.asarray(vc)[: g.num_nodes].astype(np.int64)
             total += int(tt)

@@ -51,9 +51,8 @@ class WtfResult:
     info: dict
 
 
-def _wtf_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array,
-              threshold: jax.Array, *, delta: float, alpha: float,
-              cot_cap: int, caps: tuple[int, ...]):
+def _wtf_phase12(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array,
+                 threshold: jax.Array, *, delta: float, cot_cap: int):
     v_pad = graph.v_pad
     vmask = jnp.arange(v_pad, dtype=jnp.int32) < graph.num_nodes
     out_deg = (graph.row_offsets[1:] - graph.row_offsets[:-1]).astype(jnp.float32)
@@ -88,22 +87,25 @@ def _wtf_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array,
     top_vals, cot = jax.lax.top_k(jnp.where(vmask, ppr, -1.0), cot_cap)
     cot = cot.astype(jnp.int32)
     n_cot = jnp.int32(min(COT_SIZE, graph.num_nodes, cot_cap))
-
-    def cot_edges(cap: int):
-        def run(_):
-            ex = expand(graph, cot, n_cot, cap)
-            indeg = scatter_add(jnp.zeros((v_pad,), jnp.float32), ex.dst,
-                                jnp.ones_like(ex.dst, jnp.float32),
-                                mask=ex.mask)
-            return indeg, ex.src, ex.dst, ex.mask
-        return run
-
     lane = jnp.arange(cot_cap, dtype=jnp.int32)
     valid = lane < n_cot
     cot_deg = jnp.sum(jnp.where(
         valid, graph.row_offsets[cot + 1] - graph.row_offsets[cot], 0))
-    cot_indeg, esrc, edst, emask = dispatch_by_size(
-        cot_deg, caps, cot_edges, None)
+    return ppr, ppr_iters, cot, cot_deg
+
+
+def _wtf_phase3(graph: DeviceGraph, src: jax.Array, cot: jax.Array,
+                ppr: jax.Array, *, alpha: float, cot_cap: int, cap: int):
+    v_pad = graph.v_pad
+    vmask = jnp.arange(v_pad, dtype=jnp.int32) < graph.num_nodes
+    out_deg = (graph.row_offsets[1:] - graph.row_offsets[:-1]).astype(jnp.float32)
+    inv_out = jnp.where(out_deg > 0, 1.0 / jnp.maximum(out_deg, 1.0), 0.0)
+    n_cot = jnp.int32(min(COT_SIZE, graph.num_nodes, cot_cap))
+
+    ex = expand(graph, cot, n_cot, cap)
+    esrc, edst, emask = ex.src, ex.dst, ex.mask
+    cot_indeg = scatter_add(jnp.zeros((v_pad,), jnp.float32), edst,
+                            jnp.ones_like(edst, jnp.float32), mask=emask)
     inv_cot_in = jnp.where(cot_indeg > 0, 1.0 / jnp.maximum(cot_indeg, 1.0),
                            0.0)
 
@@ -125,11 +127,13 @@ def _wtf_loop(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array,
     _, refscore = jax.lax.fori_loop(0, salsa_iters, s_body, (rank0, ref0))
     scores, node_ids = jax.lax.top_k(jnp.where(vmask, refscore, -1.0),
                                      cot_cap)
-    return node_ids.astype(jnp.int32), scores, ppr, ppr_iters
+    return node_ids.astype(jnp.int32), scores
 
 
-_wtf_jit = jax.jit(
-    _wtf_loop, static_argnames=("delta", "alpha", "cot_cap", "caps"))
+_wtf_p12_jit = jax.jit(
+    _wtf_phase12, static_argnames=("delta", "cot_cap"))
+_wtf_p3_jit = jax.jit(
+    _wtf_phase3, static_argnames=("alpha", "cot_cap", "cap"))
 
 
 def wtf_device(graph: DeviceGraph, src, *, delta: float = 0.85,
@@ -138,10 +142,18 @@ def wtf_device(graph: DeviceGraph, src, *, delta: float = 0.85,
     if not graph.has_csc:
         raise ValueError("WTF needs to_device(with_csc=True)")
     cot_cap = min(COT_SIZE, graph.num_nodes)
-    caps = tuple(capacity_ladder(graph.e_pad))
-    return _wtf_jit(graph, jnp.int32(src), jnp.int32(max_iters),
-                    jnp.float32(threshold), delta=float(delta),
-                    alpha=float(alpha), cot_cap=cot_cap, caps=caps)
+    caps = capacity_ladder(graph.e_pad)
+    ppr, ppr_iters, cot, cot_deg = _wtf_p12_jit(
+        graph, jnp.int32(src), jnp.int32(max_iters),
+        jnp.float32(threshold), delta=float(delta), cot_cap=cot_cap)
+    # Pick the phase-3 edge capacity on the host (one scalar fetch) —
+    # switch branches can't return rung-sized edge lists.
+    cd = int(np.asarray(cot_deg))
+    cap = next((c for c in caps if c >= cd), caps[-1])
+    node_ids, scores = _wtf_p3_jit(graph, jnp.int32(src), cot, ppr,
+                                   alpha=float(alpha), cot_cap=cot_cap,
+                                   cap=cap)
+    return node_ids, scores, ppr, ppr_iters
 
 
 def wtf(graph: Union[CsrGraph, DeviceGraph], src: int = 0, *,

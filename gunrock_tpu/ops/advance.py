@@ -62,16 +62,24 @@ class ExpandedEdges:
     total: jax.Array   # ()        int32
 
 
-def _expand_csr(row_offsets: jax.Array, col_indices: jax.Array,
-                frontier: jax.Array, n: jax.Array,
-                out_cap: int, sorted_frontier: bool = False) -> ExpandedEdges:
+def _expand_markers(row_offsets: jax.Array, frontier: jax.Array,
+                    n: jax.Array, ncap: int, out_cap: int,
+                    sorted_frontier: bool):
+    """Rank/eid marker construction over the first ``ncap`` frontier
+    lanes: all scatters here have ``ncap`` lanes, so laddering ``ncap``
+    by the frontier LENGTH (not the output capacity) keeps the
+    frontier-side cost proportional to the frontier — the two
+    out_cap-lane marker scatters were ~12 ns/output-lane of pure
+    overhead when the frontier was three orders smaller than the rung."""
     cin = frontier.shape[0]
-    lane_in = jnp.arange(cin, dtype=jnp.int32)
+    fr = jax.lax.dynamic_slice(frontier, (0,), (ncap,)) \
+        if ncap < cin else frontier
+    lane_in = jnp.arange(ncap, dtype=jnp.int32)
     valid = lane_in < n
     # Inactive lanes pin to the LAST vertex in sorted mode so the gather
     # stream stays monotonic (callers guarantee active lanes ascending).
     fill_v = row_offsets.shape[0] - 2 if sorted_frontier else 0
-    f = jnp.where(valid, frontier, fill_v)
+    f = jnp.where(valid, fr, fill_v)
     start = jnp.take(row_offsets, f, indices_are_sorted=sorted_frontier)
     deg = jnp.where(
         valid,
@@ -81,7 +89,7 @@ def _expand_csr(row_offsets: jax.Array, col_indices: jax.Array,
     # total is a stat/overflow probe: int32 (clipped) regardless of the
     # offsets dtype so loop-state dtypes stay stable under --64bit-SizeT.
     total = jnp.minimum(ends[-1], 2**31 - 1).astype(jnp.int32) \
-        if cin > 0 else jnp.int32(0)
+        if ncap > 0 else jnp.int32(0)
 
     # Which frontier segment does output lane j land in? Instead of a
     # per-lane binary search over the scanned degrees (the reference's
@@ -96,9 +104,6 @@ def _expand_csr(row_offsets: jax.Array, col_indices: jax.Array,
     seg_starts = ends - deg                    # start position per segment
     pos = jnp.where(valid, seg_starts, out_cap)
     markers = jnp.zeros((out_cap,), jnp.int32).at[pos].add(1, mode="drop")
-    rank = jnp.cumsum(markers) - 1             # (out_cap,)
-    rank_c = jnp.clip(rank, 0, cin - 1)
-    j = jnp.arange(out_cap, dtype=jnp.int32)
     # eid[j] = start[rank] + (j - seg_start[rank]) = j + offset[rank]
     # with offset = start - seg_start constant per segment. Scattering
     # the TELESCOPING offset deltas at segment starts and cumsumming
@@ -110,9 +115,54 @@ def _expand_csr(row_offsets: jax.Array, col_indices: jax.Array,
         [offset[:1], offset[1:] - offset[:-1]])
     odeltas = jnp.zeros((out_cap,), offset.dtype).at[pos].add(
         off_prev, mode="drop")
+    # Source ids by the same telescoping-delta trick (exact for ints):
+    # src[j] = f[rank[j]] = running sum of per-segment f deltas — one
+    # more ncap-lane scatter + a cap-scale cumsum replaces a cap-scale
+    # rank-indexed gather (~10 ns/lane).
+    f_prev = jnp.concatenate([f[:1], f[1:] - f[:-1]])
+    sdeltas = jnp.zeros((out_cap,), jnp.int32).at[pos].add(
+        f_prev.astype(jnp.int32), mode="drop")
+    return markers, odeltas, sdeltas, total
+
+
+def _expand_csr(row_offsets: jax.Array, col_indices: jax.Array,
+                frontier: jax.Array, n: jax.Array,
+                out_cap: int, sorted_frontier: bool = False,
+                with_src: bool = True,
+                with_dst: bool = True) -> ExpandedEdges:
+    cin = frontier.shape[0]
+    # Frontier-side ladder: scatters run at the smallest rung >= n.
+    ncaps = []
+    c = 4096
+    while c < cin:
+        ncaps.append(c)
+        c *= 8
+    ncaps.append(cin)
+
+    if len(ncaps) == 1:
+        markers, odeltas, sdeltas, total = _expand_markers(
+            row_offsets, frontier, n, cin, out_cap, sorted_frontier)
+    else:
+        from ..enactor import dispatch_by_size
+
+        def mk(ncap):
+            def f(_):
+                return _expand_markers(row_offsets, frontier, n, ncap,
+                                       out_cap, sorted_frontier)
+            return f
+
+        markers, odeltas, sdeltas, total = dispatch_by_size(
+            jnp.maximum(n, 1), ncaps, mk, None)
+
+    rank = jnp.cumsum(markers) - 1             # (out_cap,)
+    rank_c = jnp.clip(rank, 0, cin - 1)
+    j = jnp.arange(out_cap, dtype=jnp.int32)
     eid = j + jnp.cumsum(odeltas)
     mask = (j < total) & (rank >= 0)
-    if sorted_frontier:
+    if not with_dst:
+        eid_c = jnp.where(mask, eid, 0)
+        dst = jnp.zeros_like(eid_c)
+    elif sorted_frontier:
         # Sorted frontier => eids ascend monotonically across lanes
         # (inactive tail pinned to the last edge keeps the order), so the
         # big edge gather takes the sorted fast path.
@@ -124,18 +174,28 @@ def _expand_csr(row_offsets: jax.Array, col_indices: jax.Array,
     else:
         eid_c = jnp.where(mask, eid, 0)
         dst = jnp.where(mask, col_indices[eid_c], 0)
-    src = jnp.where(mask, f[rank_c], 0)
+    if with_src:
+        # Masked lanes keep the running value (NOT zeroed): the stream
+        # stays nondecreasing in sorted mode, which the Pallas samplers
+        # require; callers predicate on ``mask`` anyway.
+        src = jnp.cumsum(sdeltas)
+    else:
+        src = jnp.zeros((out_cap,), jnp.int32)
     return ExpandedEdges(src=src, dst=dst, eid=eid_c, rank=rank_c,
                          mask=mask, total=total)
 
 
 def expand(graph: DeviceGraph, frontier: jax.Array, n: jax.Array,
-           out_cap: int, sorted_frontier: bool = False) -> ExpandedEdges:
+           out_cap: int, sorted_frontier: bool = False,
+           with_src: bool = True, with_dst: bool = True) -> ExpandedEdges:
     """Push-mode advance (V2V/V2E over the forward CSR). Pass
     ``sorted_frontier=True`` (active lanes ascending) to enable
-    monotonic-gather fast paths."""
+    monotonic-gather fast paths. ``with_src/with_dst=False`` skip the
+    cap-scale payload gathers (callers streaming payloads through the
+    Pallas sampler need only eid/rank)."""
     return _expand_csr(graph.row_offsets, graph.col_indices, frontier, n,
-                       out_cap, sorted_frontier)
+                       out_cap, sorted_frontier, with_src=with_src,
+                       with_dst=with_dst)
 
 
 def expand_inverse(graph: DeviceGraph, frontier: jax.Array, n: jax.Array,

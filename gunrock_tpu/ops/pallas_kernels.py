@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["bitmask_gather", "bitmask_gather_cumsum", "blocked_pull_or",
-           "pack_bitmask", "words_for", "sample_sorted",
+           "pack_bitmask", "words_for", "sample_sorted", "sample_sorted2",
            "pull_vertex_reduce", "pad_values_table"]
 
 LANE = 128
@@ -673,6 +673,126 @@ def sample_sorted(arr: jax.Array, pos: jax.Array, *,
     out = _sample_sorted_2d(arr.reshape(-1, LANE),
                             pos.reshape(-1, LANE), interpret=interpret)
     return out.reshape(-1)[:s]
+
+
+def _sample2_kernel(a_ref, b_ref, pos_ref, oa_ref, ob_ref, sa, sb, sem):
+    """Two-array variant of :func:`_sample_kernel`: both arrays are read
+    at the SAME sorted positions, sharing one position decode and one
+    chunk walk — the per-lane extraction cost of the second array is the
+    only addition (the DMA windows ride the same chunk schedule)."""
+    pos = pos_ref[...]
+    shape = pos.shape
+    chunk_vals = _CHUNK_ROWS * LANE
+    c0 = pos[0, 0] // chunk_vals
+    c1 = pos[shape[0] - 1, LANE - 1] // chunk_vals
+
+    def start_dmas(c, slot):
+        pltpu.make_async_copy(
+            a_ref.at[pl.ds(c * _CHUNK_ROWS, _CHUNK_ROWS), :],
+            sa.at[slot], sem.at[0, slot]).start()
+        pltpu.make_async_copy(
+            b_ref.at[pl.ds(c * _CHUNK_ROWS, _CHUNK_ROWS), :],
+            sb.at[slot], sem.at[1, slot]).start()
+
+    def wait_dmas(c, slot):
+        pltpu.make_async_copy(
+            a_ref.at[pl.ds(c * _CHUNK_ROWS, _CHUNK_ROWS), :],
+            sa.at[slot], sem.at[0, slot]).wait()
+        pltpu.make_async_copy(
+            b_ref.at[pl.ds(c * _CHUNK_ROWS, _CHUNK_ROWS), :],
+            sb.at[slot], sem.at[1, slot]).wait()
+
+    for w in range(_NBUF - 1):
+        @pl.when(c0 + w <= c1)
+        def _():
+            start_dmas(c0 + w, w % _NBUF)
+
+    def visit(i, accs):
+        acc_a, acc_b = accs
+        c = c0 + i
+        slot = i % _NBUF
+
+        @pl.when(c + (_NBUF - 1) <= c1)
+        def _():
+            start_dmas(c + (_NBUF - 1), (i + (_NBUF - 1)) % _NBUF)
+
+        wait_dmas(c, slot)
+        local = pos - c * chunk_vals
+        ok = (local >= 0) & (local < chunk_vals)
+        lsafe = jnp.where(ok, local, 0)
+        lrow = jax.lax.shift_right_logical(lsafe, 7)
+        llane = lsafe & (LANE - 1)
+
+        def rows(g, accs):
+            acc_a, acc_b = accs
+            slab_a = sa[slot, pl.ds(g * 8, 8), :]
+            slab_b = sb[slot, pl.ds(g * 8, 8), :]
+            for u in range(8):
+                sel = ok & (lrow == g * 8 + u)
+                va = jnp.take_along_axis(
+                    jnp.broadcast_to(slab_a[u:u + 1, :], shape), llane,
+                    axis=1)
+                vb = jnp.take_along_axis(
+                    jnp.broadcast_to(slab_b[u:u + 1, :], shape), llane,
+                    axis=1)
+                acc_a = jnp.where(sel, va, acc_a)
+                acc_b = jnp.where(sel, vb, acc_b)
+            return acc_a, acc_b
+
+        return jax.lax.fori_loop(0, _CHUNK_ROWS // 8, rows,
+                                 (acc_a, acc_b))
+
+    acc_a, acc_b = jax.lax.fori_loop(
+        0, c1 - c0 + 1, visit,
+        (jnp.zeros(shape, a_ref.dtype), jnp.zeros(shape, b_ref.dtype)))
+    oa_ref[...] = acc_a
+    ob_ref[...] = acc_b
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _sample_sorted2_2d(a2d, b2d, pos2d, *, interpret: bool):
+    m = pos2d.shape[0]
+    return pl.pallas_call(
+        _sample2_kernel,
+        grid=(m // _SAMPLE_TILE_ROWS,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec((_SAMPLE_TILE_ROWS, LANE), lambda k: (k, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((_SAMPLE_TILE_ROWS, LANE), lambda k: (k, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((_SAMPLE_TILE_ROWS, LANE), lambda k: (k, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((m, LANE), a2d.dtype),
+                   jax.ShapeDtypeStruct((m, LANE), b2d.dtype)),
+        scratch_shapes=[pltpu.VMEM((_NBUF, _CHUNK_ROWS, LANE), a2d.dtype),
+                        pltpu.VMEM((_NBUF, _CHUNK_ROWS, LANE), b2d.dtype),
+                        pltpu.SemaphoreType.DMA((2, _NBUF))],
+        interpret=interpret,
+    )(a2d, b2d, pos2d)
+
+
+def sample_sorted2(arr_a: jax.Array, arr_b: jax.Array, pos: jax.Array, *,
+                   interpret: bool = False):
+    """``(arr_a[pos], arr_b[pos])`` for sorted ``pos`` — one fused chunk
+    walk (see :func:`sample_sorted`). Arrays must be equal length."""
+    assert arr_a.shape[0] == arr_b.shape[0]
+    e = arr_a.shape[0]
+    chunk = _CHUNK_ROWS * LANE
+    if e % chunk:
+        padn = chunk - e % chunk
+        arr_a = jnp.concatenate([arr_a, jnp.zeros((padn,), arr_a.dtype)])
+        arr_b = jnp.concatenate([arr_b, jnp.zeros((padn,), arr_b.dtype)])
+    s = pos.shape[0]
+    tile = _SAMPLE_TILE_ROWS * LANE
+    s_pad = -(-s // tile) * tile
+    if s_pad != s:
+        pos = jnp.concatenate(
+            [pos, jnp.broadcast_to(pos[-1:], (s_pad - s,))])
+    oa, ob = _sample_sorted2_2d(arr_a.reshape(-1, LANE),
+                                arr_b.reshape(-1, LANE),
+                                pos.reshape(-1, LANE), interpret=interpret)
+    return oa.reshape(-1)[:s], ob.reshape(-1)[:s]
 
 
 def _block_cumsum_rowmajor(x: jax.Array) -> jax.Array:

@@ -149,12 +149,13 @@ def test_sssp_pull_relax_matches_push(rmat_small):
                       with_blocked_values=True, blocked_block_rows=8)
     src = rmat_small.largest_degree_vertex()
     dist = jnp.full((dg.v_pad,), jnp.inf, jnp.float32).at[src].set(0.0)
-    fmask = jnp.arange(dg.v_pad) == src
-    st = _State(dist=dist, fmask=fmask, n=jnp.int32(1), m_f=jnp.int32(0),
-                active=jnp.zeros((dg.v_pad,), bool),
+    frontier = jnp.full((dg.v_pad,), dg.v_pad - 1,
+                        jnp.int32).at[0].set(src)
+    st = _State(dist=dist, frontier=frontier, n=jnp.int32(1),
+                m_f=jnp.int32(0), active=jnp.zeros((dg.v_pad,), bool),
                 level=jnp.float32(0.0), stats=init_stats())
 
-    d_push, _, _ = _relax(dg, st, dg.e_pad, dg.v_pad)
+    d_push = _relax(dg, st, dg.e_pad, dg.v_pad, False)[0]
 
     orig_vr = pk._blocked_value_2d
     orig_ss = pk._sample_sorted_2d
@@ -170,7 +171,7 @@ def test_sssp_pull_relax_matches_push(rmat_small):
     pk._blocked_value_2d = vr_i
     pk._sample_sorted_2d = ss_i
     try:
-        d_pull, _, _ = _pull_relax(dg, st)
+        d_pull = _pull_relax(dg, st, dg.v_pad)[0]
     finally:
         pk._blocked_value_2d = orig_vr
         pk._sample_sorted_2d = orig_ss

@@ -215,39 +215,59 @@ def _cell_transpose(bsrc: np.ndarray, bdst: np.ndarray) -> dict:
 
 def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int,
                       with_vertex_samples: bool = False, K: int = 16):
-    """Blocked-CSC edge layout for the pull kernel.
+    """Blocked-CSC edge layout for the pull kernel (square case:
+    source and destination spaces are both ``v_pad``)."""
+    return build_blocked_rect(
+        g.edge_sources().astype(np.int64), g.col_indices.astype(np.int64),
+        None if g.edge_values is None else
+        g.edge_values.astype(np.float32),
+        v_pad, v_pad, block_rows,
+        with_vertex_samples=with_vertex_samples, K=K)
 
-    Edges grouped by source block (K groups), sorted by (dst, src) per
-    group, word-aligned (every destination word's run padded to 32-slot
-    cells), padded per group to a block multiple. Emits the static
-    per-(group, word) result positions: the inclusive segmented-OR value
-    at the last slot of word w in group k IS the packed reach word, and
-    word-last slots sit at cell boundaries by construction.
+
+def build_blocked_rect(src: np.ndarray, dst: np.ndarray,
+                       ev: Optional[np.ndarray], src_pad: int,
+                       dst_pad: int, block_rows: int,
+                       with_vertex_samples: bool = False, K: int = 16):
+    """Blocked edge layout for the pull kernels, rectangular form.
+
+    Edges grouped by SOURCE block (K groups over ``src_pad`` table ids —
+    the gathered side), sorted by (dst, src) per group, word-aligned
+    (every destination word's run padded to 32-slot cells), padded per
+    group to a block multiple. Emits the static per-(group, word) result
+    positions: the inclusive segmented-OR value at the last slot of word
+    w in group k IS the packed reach word, and word-last slots sit at
+    cell boundaries by construction.
+
+    The rectangular form (``src_pad != dst_pad``) serves the multi-chip
+    shards: each shard reduces into its LOCAL ``dst_pad = S`` vertices
+    while gathering from a global or ghost-compact source table space.
 
     ``K`` balances the kernel's two costs: in-VMEM gather rounds per block
     scale as 1/K (smaller table slice), result sampling scales as K·V.
     Measured optimum on rmat n20 is K=32 (value pass 188 -> 132 ms).
     """
-    R_base = _bitmask_rows(v_pad)
+    R_base = _bitmask_rows(src_pad)
     rpg = max(-(-R_base // K), 8)
     rpg = ((rpg + 7) // 8) * 8
-    R = rpg * K          # effective (padded) bitmask rows; extra rows zero
+    R = rpg * K          # effective (padded) table rows; extra rows zero
     v_per_group = rpg * 128 * 32
-    nwords = R * 128
+    nwords = _bitmask_rows(dst_pad) * LANE
     block_edges = block_rows * 128
     # Out-of-range source: every kernel's table-row loop misses it, for
     # any group — pad slots contribute hit=0 / the reduce identity.
     SENT = R * 128 * 32
 
-    src = g.edge_sources().astype(np.int64)   # CSR order; regroup below
-    dst = g.col_indices.astype(np.int64)
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    if ev is not None:
+        ev = np.asarray(ev, np.float32)
     # Pull kernel reads frontier[src] for in-edges of dst: group by the
     # SOURCE block, sort by (dst, src) within groups.
     group = np.minimum(src // v_per_group, K - 1)
     order = np.lexsort((src, dst, group))
     gs, ss, ds = group[order], src[order], dst[order]
-    ev = g.edge_values.astype(np.float32)[order] \
-        if g.edge_values is not None else None
+    ev = ev[order] if ev is not None else None
 
     counts = np.bincount(gs, minlength=K)
     reads = np.zeros(K + 1, np.int64)
@@ -272,8 +292,8 @@ def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int,
     if ev is not None:
         bval = np.zeros(total, np.float32)
     if with_vertex_samples:
-        vpos = np.zeros((K, v_pad), np.int32)
-        vvalid = np.zeros((K, v_pad), bool)
+        vpos = np.zeros((K, dst_pad), np.int32)
+        vvalid = np.zeros((K, dst_pad), bool)
     pad_wid = nwords - 1
     for k in range(K):
         ds_k, ss_k, ev_k = aligned[k]
@@ -293,7 +313,7 @@ def build_blocked_csc(g: CsrGraph, v_pad: int, block_rows: int,
             sample_valid[k, wids[last]] = True
             if with_vertex_samples:
                 vlast = np.nonzero(np.r_[ds_k[1:] != ds_k[:-1], True])[0]
-                keep = ds_k[vlast] < v_pad
+                keep = ds_k[vlast] < dst_pad
                 vpos[k, ds_k[vlast[keep]]] = (lo + vlast[keep]).astype(np.int32)
                 vvalid[k, ds_k[vlast[keep]]] = True
 

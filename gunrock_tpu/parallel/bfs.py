@@ -47,6 +47,7 @@ from ..ops.segment import compact, dedup_winners, frontier_from_mask, \
     scatter_set
 from ..utils.info import make_info
 from ..utils.track import inject_latency
+from .blocked import ShardedBlocked, blocked_from_partition, local_layout
 from .comm import bucket_by_owner, exchange, recv_mask
 from .mesh import AXIS, make_mesh, pvary
 from .partition import PartitionedGraph, partition
@@ -162,25 +163,76 @@ def _pull_step(pg: PartitionedGraph, *, axis: str, comm_latency: int):
     return step
 
 
+def _pull_step_blocked(pg: PartitionedGraph, *, axis: str,
+                       comm_latency: int, interpret: bool):
+    """Kernel-grade pull superstep: all-gather the packed frontier words
+    and reduce over the shard's local edges with the SAME blocked Pallas
+    kernels the single-chip path uses (``ops.pallas_kernels``) — the
+    reference's multi-GPU property of running the optimized per-GPU
+    kernels unchanged (``enactor_loop.cuh:748`` FullQueue_Core ->
+    ``oprtr/advance/kernel.cuh``), vs round 2's ~110M elem/s XLA edge
+    gathers."""
+    from ..ops.pallas_kernels import LANE, pull_reached_words, \
+        unpack_bitmask
+    S = pg.shard_size
+    p = pg.num_shards
+
+    def step(blk_local: ShardedBlocked, csc_row, deg, state, depth):
+        labels, preds, frontier, n, m_f = state
+        R = blk_local.bcsc_groups * blk_local.bcsc_rows_per_group
+        words = _pack_words(labels == depth - 1)              # (S/32,)
+        gwords = jax.lax.all_gather(words, axis, tiled=True)  # (p*S/32,)
+        gwords = inject_latency(gwords, comm_latency)
+        nw = gwords.shape[0]
+        table = jnp.zeros((R * LANE,), jnp.int32) \
+            .at[:nw].set(gwords).reshape(R, LANE)
+        reached = unpack_bitmask(
+            pull_reached_words(table, blk_local, interpret=interpret), S)
+
+        new_mask = (labels == -1) & reached
+        labels = jnp.where(new_mask, depth, labels)
+        n_local = jnp.sum(new_mask.astype(jnp.int32))
+        m_f_local = jnp.sum(jnp.where(new_mask, deg, 0))
+        edges = csc_row[-1]
+        sent = jnp.int32((p - 1) * (S // 32) * 4)
+        # frontier queue left stale; push rebuilds it lazily from labels
+        return (labels, preds, frontier, n_local, m_f_local), edges, \
+            jnp.bool_(False), sent
+
+    return step
+
+
 def _make_bfs_fn(pg: PartitionedGraph, *, fcap: int, out_cap: int,
                  per_peer_cap: int, mark_preds: bool,
                  direction_optimized: bool, alpha: float, beta: float,
-                 comm_latency: int, axis: str, mesh: Mesh):
+                 comm_latency: int, axis: str, mesh: Mesh,
+                 blocked: Optional[ShardedBlocked] = None,
+                 pallas_interpret: bool = False):
     S = pg.shard_size
     p = pg.num_shards
     push = _push_step(pg, fcap=fcap, out_cap=out_cap,
                       per_peer_cap=per_peer_cap, mark_preds=mark_preds,
                       axis=axis, comm_latency=comm_latency)
-    pull = _pull_step(pg, axis=axis, comm_latency=comm_latency) \
-        if direction_optimized else None
+    pull_plain = _pull_step(pg, axis=axis, comm_latency=comm_latency) \
+        if direction_optimized and blocked is None else None
+    pull_blk = _pull_step_blocked(pg, axis=axis, comm_latency=comm_latency,
+                                  interpret=pallas_interpret) \
+        if direction_optimized and blocked is not None else None
 
-    def shard_fn(row, col, csc_row, csc_col, src_new, max_iters):
+    def shard_fn(row, col, csc_row, csc_col, src_new, max_iters,
+                 blk=None):
         row = row.reshape(-1)          # (S+1,)
         col = col.reshape(-1)          # (E_shard,)
         deg = row[1:] - row[:-1]       # (S,) local out-degrees
         if direction_optimized:
             csc_row = csc_row.reshape(-1)
             csc_col = csc_col.reshape(-1)
+            if blk is not None:
+                blk_local = local_layout(blk)
+                pull = lambda cr, cc, dg, st, depth: \
+                    pull_blk(blk_local, cr, dg, st, depth)
+            else:
+                pull = pull_plain
         my = jax.lax.axis_index(axis).astype(jnp.int32)
         my_base = my * S
         owns_src = (src_new >= my_base) & (src_new < my_base + S)
@@ -280,10 +332,15 @@ def _make_bfs_fn(pg: PartitionedGraph, *, fcap: int, out_cap: int,
 
     in_specs = (P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None),
                 P(), P())
+    if blocked is not None:
+        in_specs = in_specs + (blocked.specs(AXIS),)
     out_specs = (P(AXIS), P(AXIS) if mark_preds else P(AXIS), P(), P(),
                  P(), P(), P())
+    # Pallas out_shapes carry no varying-manual-axes annotation, so the
+    # VMA check must be off when the pull step runs the blocked kernels.
     return jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
-                                 out_specs=out_specs))
+                                 out_specs=out_specs,
+                                 check_vma=blocked is None))
 
 
 def bfs_sharded_device(pg: PartitionedGraph, src_new: int, *,
@@ -294,10 +351,16 @@ def bfs_sharded_device(pg: PartitionedGraph, src_new: int, *,
                        comm_latency: int = 0,
                        queue_sizing: float = 1.0,
                        in_sizing: float = 1.0,
-                       max_iters: Optional[int] = None):
+                       max_iters: Optional[int] = None,
+                       blocked: Optional[ShardedBlocked] = None,
+                       pallas_interpret: bool = False):
     """Run sharded BFS in relabeled id space; returns device arrays
     (labels over p*S relabeled vertices, preds, iters, edges, overflow,
-    comm_bytes, direction trace)."""
+    comm_bytes, direction trace).
+
+    ``blocked``: per-shard blocked layouts (``blocked_from_partition``)
+    — pull supersteps then run the single-chip Pallas kernels per shard
+    instead of XLA edge gathers."""
     if mesh is None:
         mesh = make_mesh(pg.num_shards)
     if direction_optimized and pg.csc_offsets is None:
@@ -312,12 +375,16 @@ def bfs_sharded_device(pg: PartitionedGraph, src_new: int, *,
                       per_peer_cap=per_peer_cap, mark_preds=mark_preds,
                       direction_optimized=direction_optimized,
                       alpha=alpha, beta=beta, comm_latency=comm_latency,
-                      axis=AXIS, mesh=mesh)
+                      axis=AXIS, mesh=mesh, blocked=blocked,
+                      pallas_interpret=pallas_interpret)
     zero = jnp.zeros((pg.num_shards, 1), jnp.int32)
     csc_row = pg.csc_offsets if pg.csc_offsets is not None else zero
     csc_col = pg.csc_indices if pg.csc_indices is not None else zero
-    return fn(pg.row_offsets, pg.col_indices, csc_row, csc_col,
-              jnp.int32(src_new), jnp.int32(max_iters))
+    args = (pg.row_offsets, pg.col_indices, csc_row, csc_col,
+            jnp.int32(src_new), jnp.int32(max_iters))
+    if blocked is not None:
+        args = args + (blocked,)
+    return fn(*args)
 
 
 def _host_fill_preds(g: CsrGraph, labels: np.ndarray,
@@ -343,20 +410,30 @@ def bfs_sharded(graph: CsrGraph, src: int = 0, *, num_shards: int = None,
                 comm_latency: int = 0,
                 mesh: Optional[Mesh] = None,
                 queue_sizing: float = 1.0, in_sizing: float = 1.0,
-                max_iters: Optional[int] = None) -> ShardedBfsResult:
+                max_iters: Optional[int] = None,
+                use_blocked: Optional[bool] = None,
+                pallas_interpret: bool = False) -> ShardedBfsResult:
     """Partition ``graph`` and run BFS across the mesh; returns results in
     original vertex ids (the reference's Extract stitches sub-GPU results
-    via ``original_vertex`` tables, ``bfs_problem.cuh:518``)."""
+    via ``original_vertex`` tables, ``bfs_problem.cuh:518``).
+
+    ``use_blocked`` routes pull supersteps through the per-shard blocked
+    Pallas kernels (default: on TPU backends when direction-optimized;
+    ``pallas_interpret=True`` exercises the same path on CPU meshes)."""
     timer = Timer()
     if mesh is None:
         mesh = make_mesh(num_shards)
     num_shards = mesh.devices.size
     if not 0 <= int(src) < graph.num_nodes:
         raise ValueError(f"src {src} out of range [0, {graph.num_nodes})")
+    if use_blocked is None:
+        use_blocked = direction_optimized and (
+            jax.default_backend() == "tpu" or pallas_interpret)
 
     with timer.time("partition_ms"):
         pg, perm = partition(graph, num_shards, method=partition_method,
                              seed=seed, with_csc=direction_optimized)
+        blocked = blocked_from_partition(pg) if use_blocked else None
     with timer.time("process_ms"):
         # Overflow auto-retry with doubled sizing (reference Check_Size
         # regrow, enactor_helper.cuh:103-138): sizing 1.0 is provably
@@ -370,7 +447,8 @@ def bfs_sharded(graph: CsrGraph, src: int = 0, *, num_shards: int = None,
                     pg, int(perm[src]), mesh=mesh, mark_preds=mark_preds,
                     direction_optimized=direction_optimized, alpha=alpha,
                     beta=beta, comm_latency=comm_latency, queue_sizing=qs,
-                    in_sizing=ins, max_iters=max_iters))
+                    in_sizing=ins, max_iters=max_iters, blocked=blocked,
+                    pallas_interpret=pallas_interpret))
             if not bool(ovf) or (qs >= 1.0 and ins >= 1.0):
                 break
             qs = min(qs * 2.0, 1.0)
@@ -399,6 +477,7 @@ def bfs_sharded(graph: CsrGraph, src: int = 0, *, num_shards: int = None,
                "num_iterations": it,
                "frontier_overflow": bool(ovf),
                "direction_optimized": direction_optimized,
+               "blocked_kernels": bool(use_blocked),
                "direction_trace": trace_np[:min(it, DIR_TRACE)].tolist(),
                "pull_iterations": int((trace_np[:it] == 1).sum()),
                "comm_bytes": float(comm_bytes),

@@ -279,3 +279,40 @@ def test_bc_batch_replicated_matches_sum_of_singles(chesapeake):
         expected += gt.bc(chesapeake, s).bc_values
     np.testing.assert_allclose(res.bc_values, expected, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_bfs_sharded_blocked_kernels_match(rmat_small):
+    """Pull supersteps through the per-shard blocked Pallas kernels
+    (interpret mode) must reproduce the XLA-path labels bitwise."""
+    xla = bfs_sharded(rmat_small, src=0, num_shards=8,
+                      direction_optimized=True, use_blocked=False)
+    blk = bfs_sharded(rmat_small, src=0, num_shards=8,
+                      direction_optimized=True, use_blocked=True,
+                      pallas_interpret=True)
+    assert blk.info["blocked_kernels"]
+    assert blk.info["pull_iterations"] >= 1
+    np.testing.assert_array_equal(blk.labels, xla.labels)
+
+
+def test_pagerank_sharded_blocked_kernels_match(rmat_small):
+    """Blocked value-kernel SpMV over the ghost-compact table must match
+    the XLA row_reduce path."""
+    xla = pagerank_sharded(rmat_small, num_shards=8, use_blocked=False)
+    blk = pagerank_sharded(rmat_small, num_shards=8, use_blocked=True,
+                           pallas_interpret=True)
+    assert blk.info["blocked_kernels"]
+    np.testing.assert_allclose(blk.ranks, xla.ranks, atol=1e-6)
+
+
+def test_blocked_from_partition_shapes(rmat_small):
+    from gunrock_tpu.parallel.blocked import blocked_from_partition
+    pg, _ = partition(rmat_small, 4, method="random", with_csc=True,
+                      with_ghosts=True)
+    blk = blocked_from_partition(pg)
+    assert blk.bcsc_src.shape[0] == 4          # leading shard axis
+    assert blk.src_pad == 4 * pg.shard_size    # global table space
+    assert blk.dst_pad == pg.shard_size
+    cblk = blocked_from_partition(pg, compact=True,
+                                  with_vertex_samples=True)
+    assert cblk.src_pad == pg.shard_size + 4 * pg.ghost_cap
+    assert cblk.bcsc_vsample_pos is not None

@@ -101,9 +101,49 @@ def main():
         run()
         best = min(best, time.perf_counter() - t0)
 
+    # Device-fenced estimate: K chained traversals in ONE dispatch (a
+    # lax.scan with a data dependency between runs), differenced against
+    # the single-call wall — the per-call dispatch+sync floor over the
+    # serving tunnel (~26-30 ms, doc/perf_notes.md) cancels out.
+    device_ms = None
+    K = int(os.environ.get("BENCH_DEVICE_RUNS", "4"))
+    if K > 1:
+        import jax.numpy as jnp
+        from functools import partial
+        from gunrock_tpu.models.bfs import _bfs_loop
+        from gunrock_tpu.enactor import capacity_ladder
+        fcap = max(128, dgraph.v_pad // 4)
+        caps = tuple(capacity_ladder(dgraph.e_pad))
+        loop = partial(_bfs_loop, fcap=fcap, caps=caps, mark_preds=False,
+                       direction_optimized=True, alpha=15.0, beta=18.0,
+                       pallas_pull=jax.default_backend() == "tpu",
+                       init=True)
+
+        @jax.jit
+        def run_k(gg, s):
+            def body(carry, _):
+                _, probe = loop(gg, s + carry, jnp.int32(16384))
+                return probe[2] * 0, probe    # n==0 at convergence
+            _, probes = jax.lax.scan(body, jnp.int32(0), None, length=K)
+            return probes
+
+        def timed_k():
+            out = run_k(dgraph, jnp.int32(src))
+            np.asarray(out.reshape(-1)[0:1])
+            return out
+
+        probes = timed_k()                    # warmup + compile
+        assert int(np.asarray(probes)[-1, 2]) == 0
+        best_k = float("inf")
+        for _ in range(max(RUNS - 2, 2)):
+            t0 = time.perf_counter()
+            timed_k()
+            best_k = min(best_k, time.perf_counter() - t0)
+        device_ms = (best_k - best) * 1000.0 / (K - 1)
+
     elapsed_ms = best * 1000.0
     mteps = edges_visited / (elapsed_ms * 1000.0)
-    print(json.dumps({
+    rec = {
         "metric": f"bfs_do_mteps_rmat_n{SCALE}_e{EDGE_FACTOR}",
         "value": round(mteps, 1),
         "unit": "MTEPS",
@@ -114,7 +154,11 @@ def main():
         "num_vertices": g.num_nodes,
         "num_edges": g.num_edges,
         "device": str(jax.devices()[0].device_kind),
-    }))
+    }
+    if device_ms is not None and device_ms > 0:
+        rec["device_ms"] = round(device_ms, 3)
+        rec["device_mteps"] = round(edges_visited / (device_ms * 1000.0), 1)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

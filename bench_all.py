@@ -5,6 +5,16 @@ flagship driver). Methodology matches the reference (process time only,
 m_teps = edges_visited/(elapsed_ms*1000), util/info.cuh:1431).
 
   BENCH_SCALE=20 BENCH_EDGE_FACTOR=32 python bench_all.py
+
+Graph-matrix mode (the reference's per-graph engine table,
+``doc/stats/engines_topc.md`` / ``dataset/test-scripts/ipdps17``):
+``BENCH_GRAPH`` selects the dataset —
+
+  BENCH_GRAPH=rmat:22:64 python bench_all.py     # rmat_n22_e64 row
+  BENCH_GRAPH=rgg:24 python bench_all.py         # rgg_n24 row
+  BENCH_GRAPH=grid:1448 python bench_all.py      # road-like row
+
+``scripts/bench_matrix.sh`` sweeps the BASELINE.md-generatable rows.
 """
 
 import json
@@ -24,6 +34,43 @@ EF = int(os.environ.get("BENCH_EDGE_FACTOR", "32"))
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 ONLY = os.environ.get("BENCH_ONLY", "").split(",") if \
     os.environ.get("BENCH_ONLY") else None
+GRAPH = os.environ.get("BENCH_GRAPH", f"rmat:{SCALE}:{EF}")
+
+
+def load_graph(cdir):
+    """Build/load the BENCH_GRAPH dataset; returns (graph, tag, kind)."""
+    import gunrock_tpu as gt
+    import numpy as np
+    parts = GRAPH.split(":")
+    kind = parts[0]
+    os.makedirs(cdir, exist_ok=True)
+    if kind == "rmat":
+        scale, ef = int(parts[1]), int(parts[2])
+        tag = f"rmat{scale}" if (scale, ef) == (SCALE, EF) \
+            else f"rmat{scale}e{ef}"
+        cache = os.path.join(cdir, f"rmat_n{scale}_e{ef}.csr.npz")
+        if os.path.exists(cache):
+            return gt.CsrGraph.read_binary(cache), tag, kind
+        g = gt.io.rmat(scale=scale, edge_factor=ef, seed=1,
+                       undirected=True)
+        g.write_binary(cache)
+        return g, tag, kind
+    if kind == "rgg":
+        scale = int(parts[1])
+        cache = os.path.join(cdir, f"rgg_n{scale}.csr.npz")
+        if os.path.exists(cache):
+            return gt.CsrGraph.read_binary(cache), f"rgg{scale}", kind
+        g = gt.io.generators.rgg(1 << scale, seed=1)
+        g.write_binary(cache)
+        return g, f"rgg{scale}", kind
+    if kind == "grid":
+        n = int(parts[1])
+        idx = np.arange(n * n).reshape(n, n)
+        gsrc = np.concatenate([idx[:, :-1].ravel(), idx[:-1, :].ravel()])
+        gdst = np.concatenate([idx[:, 1:].ravel(), idx[1:, :].ravel()])
+        return gt.from_coo(n * n, gsrc, gdst, undirected=True), \
+            f"grid{n}", kind
+    raise SystemExit(f"unknown BENCH_GRAPH {GRAPH!r}")
 
 
 def _sync(out):
@@ -62,34 +109,35 @@ def main():
 
     cdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         ".bench_cache")
-    cache = os.path.join(cdir, f"rmat_n{SCALE}_e{EF}.csr.npz")
-    blocked_cache = os.path.join(cdir, f"rmat_n{SCALE}_e{EF}.blocked.npz")
-    blockedv_cache = os.path.join(cdir, f"rmat_n{SCALE}_e{EF}.blockedv.npz")
-    if os.path.exists(cache):
-        g = gt.CsrGraph.read_binary(cache)
-    else:
-        g = gt.io.rmat(scale=SCALE, edge_factor=EF, seed=1, undirected=True)
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        g.write_binary(cache)
+    g, tag, kind = load_graph(cdir)
+    blocked_cache = os.path.join(cdir, f"{tag}.blocked.npz")
+    blockedv_cache = os.path.join(cdir, f"{tag}.blockedv.npz")
     src = g.largest_degree_vertex()
     E = g.num_edges
     degs = np.diff(g.row_offsets).astype(np.int64)
+    # Scale-free graphs take DO + bellman; mesh-like (grid/rgg) take
+    # non-DO + near-far — the reference's per-graph tuned knobs
+    # (dataset/test-scripts/ipdps17/run_fig2.sh: --direction-optimized
+    # and --delta-factor per dataset).
+    meshy = kind in ("grid", "rgg")
 
     def want(name):
         return ONLY is None or name in ONLY
 
     if want("bfs"):
         from gunrock_tpu.models.bfs import bfs_device
-        dg = gt.to_device(g, with_csc=True, with_blocked_csc=True,
-                          blocked_cache=blocked_cache)
+        dg = gt.to_device(g, with_csc=not meshy,
+                          with_blocked_csc=not meshy,
+                          blocked_cache=None if meshy else blocked_cache)
         out = jax.block_until_ready(
-            bfs_device(dg, src, direction_optimized=True,
+            bfs_device(dg, src, direction_optimized=not meshy,
                        max_iters=16384))
         reached = np.asarray(out[0])[: g.num_nodes] >= 0
         ev = int(degs[reached].sum())
-        ms = best_ms(lambda: bfs_device(dg, src, direction_optimized=True,
+        ms = best_ms(lambda: bfs_device(dg, src,
+                                        direction_optimized=not meshy,
                                         max_iters=16384))
-        emit(f"bfs_do_rmat{SCALE}", ms, ev,
+        emit(f"bfs_do_{tag}" if not meshy else f"bfs_{tag}", ms, ev,
              {"search_depth": int(np.asarray(out[0]).max())})
         del dg
 
@@ -99,15 +147,16 @@ def main():
         dgw = gt.to_device(g, with_edge_values=True,
                            with_blocked_values=True,
                            blocked_cache=blockedv_cache)
+        mode = "nearfar" if meshy else "bellman"
         delta = 32.0 * float(np.mean(g.edge_values))
         out = jax.block_until_ready(
-            sssp_device(dgw, src, mode="bellman", delta=delta))
+            sssp_device(dgw, src, mode=mode, delta=delta))
         reached = np.isfinite(np.asarray(out[0])[: g.num_nodes])
         ev = int(degs[reached].sum())
-        ms = best_ms(lambda: sssp_device(dgw, src, mode="bellman",
+        ms = best_ms(lambda: sssp_device(dgw, src, mode=mode,
                                          delta=delta))
-        emit(f"sssp_rmat{SCALE}", ms, ev,
-             {"iters": int(out[2].iteration)})
+        emit(f"sssp_{tag}", ms, ev,
+             {"iters": int(out[2].iteration), "mode": mode})
         del dgw
 
     if want("pr"):
@@ -120,7 +169,7 @@ def main():
         iters = int(out[2].iteration)
         ms = best_ms(lambda: pagerank_device(dgc, max_iters=20,
                                              threshold=0.0))
-        emit(f"pr_rmat{SCALE}", ms / iters, E,
+        emit(f"pr_{tag}", ms / iters, E,
              {"note": "per-iteration", "iters": iters})
 
         if want("hits"):
@@ -131,7 +180,7 @@ def main():
                 hits_device(dgc, max_iters=10, rev=dgc))
             ms = best_ms(lambda: hits_device(dgc, max_iters=10,
                                              rev=dgc))
-            emit(f"hits_rmat{SCALE}", ms / 10, 2 * E,
+            emit(f"hits_{tag}", ms / 10, 2 * E,
                  {"note": "per-iteration"})
         del dgc
 
@@ -142,7 +191,7 @@ def main():
                            blocked_cache=blockedv_cache)
         out = jax.block_until_ready(cc_device(dge))
         ms = best_ms(lambda: cc_device(dge))
-        emit(f"cc_rmat{SCALE}", ms, E, {"iters": int(out[2].iteration)})
+        emit(f"cc_{tag}", ms, E, {"iters": int(out[2].iteration)})
         del dge
 
     if want("bc"):
@@ -151,7 +200,7 @@ def main():
                            blocked_cache=blockedv_cache)
         out = jax.block_until_ready(bc_device(dgb, src))
         ms = best_ms(lambda: bc_device(dgb, src))
-        emit(f"bc_rmat{SCALE}", ms, 2 * E)
+        emit(f"bc_{tag}", ms, 2 * E)
         del dgb
 
     if want("deep"):

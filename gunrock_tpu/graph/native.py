@@ -19,7 +19,7 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["get_lib", "native_available", "coo_to_csr_native",
-           "parse_market_body_native"]
+           "parse_market_body_native", "build_capi_lib"]
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -86,6 +86,44 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 def native_available() -> bool:
     return get_lib() is not None
+
+
+_CAPI_SRC = os.path.join(_REPO, "native", "c_api.cpp")
+_CAPI_SO = os.path.join(_REPO, "native", "libgunrock_tpu.so")
+
+
+def build_capi_lib() -> Optional[str]:
+    """Build the C-callable shared library (``native/c_api.cpp`` —
+    the reference's ``gunrock.h`` simplified tier for C consumers,
+    ``shared_lib_tests/*.c``). Embeds CPython; the repo root and this
+    interpreter's site-packages are baked in so a plain C program can
+    dlopen/link it with no environment setup. Returns the .so path or
+    None if the toolchain is unavailable."""
+    import sys
+    import sysconfig
+    if not os.path.exists(_CAPI_SRC):
+        return None
+    if os.path.exists(_CAPI_SO) and \
+            os.path.getmtime(_CAPI_SO) >= os.path.getmtime(_CAPI_SRC):
+        return _CAPI_SO
+    inc = sysconfig.get_paths()["include"]
+    libdir = sysconfig.get_config_var("LIBDIR") or "/usr/local/lib"
+    ver = f"{sys.version_info.major}.{sys.version_info.minor}"
+    site_dirs = [p for p in sys.path if p.endswith("site-packages")]
+    pypath = ":".join([_REPO] + site_dirs)
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+           _CAPI_SRC, "-o", _CAPI_SO + ".tmp",
+           f"-I{inc}", f"-L{libdir}", f"-lpython{ver}",
+           f"-Wl,-rpath,{libdir}",
+           f"-DGRTPU_PYPATH=\"{pypath}\""]
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=300)
+        if r.returncode != 0:
+            return None
+        os.replace(_CAPI_SO + ".tmp", _CAPI_SO)
+        return _CAPI_SO
+    except (OSError, subprocess.SubprocessError):
+        return None
 
 
 def _ptr(arr: Optional[np.ndarray], typ):

@@ -144,6 +144,11 @@ def blocked_from_partition(pg, *, compact: bool = False,
     csc_row = np.asarray(pg.csc_offsets)
     ids = np.asarray(pg.csc_local if compact else pg.csc_indices)
     gsrc = np.asarray(pg.csc_indices)
+    if edge_weight == "csc":
+        if pg.csc_edge_values is None:
+            raise ValueError("edge_weight='csc' needs "
+                             "partition(with_edge_values=True, with_csc)")
+        cev = np.asarray(pg.csc_edge_values)
     if compact:
         src_pad = S + p * pg.ghost_cap
     else:
@@ -154,7 +159,9 @@ def blocked_from_partition(pg, *, compact: bool = False,
         dst_local = np.repeat(np.arange(S, dtype=np.int64),
                               np.diff(csc_row[i]).astype(np.int64))
         ev = None
-        if edge_weight is not None:
+        if edge_weight == "csc":
+            ev = cev[i, :E].astype(np.float32)
+        elif edge_weight is not None:
             ev = np.asarray(edge_weight(gsrc[i, :E].astype(np.int64),
                                         dst_local, i), np.float32)
         per_shard.append((ids[i, :E].astype(np.int64), dst_local, ev))

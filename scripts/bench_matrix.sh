@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Per-graph benchmark matrix — the generatable rows of BASELINE.md's
+# engine table (reference doc/stats/engines_topc.md graphs:
+# soc-orkut-class rmat rows + rgg_n24 + a road-like grid;
+# dataset/test-scripts/ipdps17/run_fig2.sh is the reference driver).
+#
+#   scripts/bench_matrix.sh [out.jsonl]
+#
+# Each bench_all invocation is one dataset (fresh process => fresh HBM);
+# rows append to the output so an interrupted sweep resumes by rerunning.
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-BENCH_MATRIX.jsonl}"
+
+graphs=(
+  "rmat:20:32"      # flagship (soc-orkut class: 60.7M edges)
+  "rmat:22:64"      # rmat_n22_e64 row
+  "rmat:23:32"      # rmat_n23_e32 row
+  "rmat:24:16"      # rmat_n24_e16 row
+  "rgg:24"          # rgg_n24 row
+  "grid:1448"       # road_usa-class diameter row (V=2.1M, depth ~2894)
+)
+
+tag_of() {
+  case "$1" in
+    rmat:20:32) echo "rmat20" ;;
+    rmat:*) echo "$1" | awk -F: '{printf "rmat%se%s", $2, $3}' ;;
+    rgg:*)  echo "rgg${1#rgg:}" ;;
+    grid:*) echo "grid${1#grid:}" ;;
+  esac
+}
+
+for gspec in "${graphs[@]}"; do
+  tag=$(tag_of "$gspec")
+  if [ -f "$OUT" ] && grep -q "_${tag}\"" "$OUT"; then
+    echo "# $gspec ($tag) already in $OUT — skipping" >&2
+    continue
+  fi
+  echo "# benching $gspec" >&2
+  BENCH_GRAPH="$gspec" BENCH_ONLY="bfs,sssp,pr,cc,bc" \
+    timeout 3000 python bench_all.py >> "$OUT"
+done
+cat "$OUT"

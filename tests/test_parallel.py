@@ -316,3 +316,31 @@ def test_blocked_from_partition_shapes(rmat_small):
                                   with_vertex_samples=True)
     assert cblk.src_pad == pg.shard_size + 4 * pg.ghost_cap
     assert cblk.bcsc_vsample_pos is not None
+
+
+def test_sssp_sharded_nearfar_matches_oracle():
+    g = gt.io.rmat(scale=9, edge_factor=8, seed=5, undirected=True)
+    g.random_edge_values(seed=2)
+    res = sssp_sharded(g, src=0, num_shards=4, mode="nearfar",
+                       use_blocked=False)
+    np.testing.assert_allclose(res.distances, cpu_sssp(g, 0), rtol=1e-5)
+    assert res.info["mode"] == "nearfar"
+
+
+def test_sssp_sharded_blocked_pull_matches_oracle():
+    g = gt.io.rmat(scale=9, edge_factor=8, seed=5, undirected=True)
+    g.random_edge_values(seed=2)
+    # pull_frac=1000 forces at least the machinery through the blocked
+    # branch compile; pull_frac=2 actually takes pull supersteps
+    res = sssp_sharded(g, src=0, num_shards=4, use_blocked=True,
+                       pallas_interpret=True, pull_frac=2)
+    np.testing.assert_allclose(res.distances, cpu_sssp(g, 0), rtol=1e-5)
+    assert res.info["blocked_kernels"]
+
+
+def test_sssp_sharded_nearfar_blocked_deep(road_like):
+    road_like.random_edge_values(seed=3)
+    res = sssp_sharded(road_like, src=0, num_shards=4, mode="nearfar",
+                       use_blocked=True, pallas_interpret=True)
+    np.testing.assert_allclose(res.distances, cpu_sssp(road_like, 0),
+                               rtol=1e-5)

@@ -78,7 +78,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip CPU reference validation (reference --quick)")
     r.add_argument("--instrumented", action="store_true",
                    help="collect per-iteration kernel records "
-                        "(reference --instrumented; bfs/sssp/pr/bc)")
+                        "(reference --instrumented; bfs/sssp/pr/bc/cc)")
     r.add_argument("--quiet", action="store_true")
     r.add_argument("--queue-sizing", type=float, default=1.0,
                    help="frontier capacity factor (reference --queue-sizing)")
@@ -196,7 +196,8 @@ def _run_sssp(args, g, src):
         from .parallel.sssp import sssp_sharded
         res = sssp_sharded(g, src, num_shards=args.num_shards,
                            partition_method=args.partition_method,
-                           seed=args.partition_seed)
+                           seed=args.partition_seed, mode=args.mode,
+                           delta_factor=args.delta_factor)
     else:
         from .models import sssp
         res = sssp(g, src, mark_preds=args.mark_pred, mode=args.mode,
@@ -241,7 +242,7 @@ def _run_cc(args, g, src):
                          seed=args.partition_seed)
     else:
         from .models import cc
-        res = cc(g)
+        res = cc(g, instrumented=args.instrumented)
     ok = True
     if not args.quick:
         ref = oracle.cpu_cc(g)
@@ -346,6 +347,16 @@ _RUNNERS = {
 
 
 def main(argv=None) -> int:
+    # A sitecustomize may force jax_platforms to an accelerator AFTER
+    # env parsing; restore the caller's JAX_PLATFORMS intent (the
+    # reference drivers' --device analogue) before any backend init.
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            import jax
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     args = build_parser().parse_args(argv)
     rng = np.random.default_rng(args.seed)
     g = load_graph_from_args(args)

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -60,12 +60,13 @@ class CcResult:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["comp", "changed", "stats"],
+    data_fields=["comp", "c_hat", "changed", "stats"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class _State:
     comp: jax.Array     # (v_pad,) int32
+    c_hat: jax.Array    # () int32 — modal (giant) component estimate
     changed: jax.Array  # () bool
     stats: LoopStats
 
@@ -123,7 +124,7 @@ def _full_edge_branch(graph: DeviceGraph, use_pallas: bool):
     return step
 
 
-def _make_expand_branch(graph: DeviceGraph, c_hat_ref):
+def _make_expand_branch(graph: DeviceGraph):
     """Remainder hooking over the frontier's own edges (capacity rung)."""
     v_pad = graph.v_pad
 
@@ -131,7 +132,7 @@ def _make_expand_branch(graph: DeviceGraph, c_hat_ref):
         in_cap = min(cap, v_pad)
 
         def step(state: _State):
-            comp, c_hat = state.comp, c_hat_ref[0]
+            comp, c_hat = state.comp, state.c_hat
             deg = graph.row_offsets[1:] - graph.row_offsets[:-1]
             fmask = (comp != c_hat) & (deg > 0) & \
                 (jnp.arange(v_pad, dtype=jnp.int32) < graph.num_nodes)
@@ -155,9 +156,9 @@ def _make_expand_branch(graph: DeviceGraph, c_hat_ref):
     return make
 
 
-def _cc_loop(graph: DeviceGraph, pallas: bool = False):
+def _cc_init(graph: DeviceGraph) -> _State:
+    """Phases 1+2: neighbor-round linking + modal component estimate."""
     v_pad = graph.v_pad
-    use_pallas = pallas and graph.has_blocked_values and v_pad < (1 << 24)
     e_pad = graph.e_pad
     comp = jnp.arange(v_pad, dtype=jnp.int32)
     vmask = jnp.arange(v_pad, dtype=jnp.int32) < graph.num_nodes
@@ -193,47 +194,102 @@ def _cc_loop(graph: DeviceGraph, pallas: bool = False):
     counts = jnp.sum((sample[None, :] == sample[:, None]).astype(jnp.int32),
                      axis=1)
     c_hat = sample[jnp.argmax(counts)]
+    return _State(comp=comp, c_hat=c_hat, changed=jnp.bool_(True),
+                  stats=stats)
 
-    # Phase 3 — hook the remainder's edges until fixpoint; rung by the
-    # remainder's edge volume, degrading to the classic full-edge hook.
-    caps = capacity_ladder(e_pad)
-    branches = [_make_expand_branch(graph, (c_hat,))(c)
-                for c in caps[:-1]] + \
+
+def _cc_chunk(graph: DeviceGraph, state, upto: jax.Array,
+              pallas: bool = False, init: bool = False):
+    """Phase 3 up to iteration ``upto``: hook the remainder's edges until
+    fixpoint; rung by the remainder's edge volume, degrading to the
+    classic full-edge hook. Resumable for chunked/instrumented
+    enactment (state in == state out)."""
+    v_pad = graph.v_pad
+    use_pallas = pallas and graph.has_blocked_values and v_pad < (1 << 24)
+    vmask = jnp.arange(v_pad, dtype=jnp.int32) < graph.num_nodes
+    if init:
+        state = _cc_init(graph)
+
+    caps = capacity_ladder(graph.e_pad)
+    branches = [_make_expand_branch(graph)(c) for c in caps[:-1]] + \
         [_full_edge_branch(graph, use_pallas)]
     bounds = jnp.asarray(caps[:-1], dtype=jnp.int32)
 
     def cond(state: _State):
-        return state.changed
+        return state.changed & (state.stats.iteration < upto)
 
     def body(state: _State):
         deg = graph.row_offsets[1:] - graph.row_offsets[:-1]
-        fmask = (state.comp != c_hat) & (deg > 0) & vmask
+        fmask = (state.comp != state.c_hat) & (deg > 0) & vmask
         m_f = jnp.sum(jnp.where(fmask, deg, 0))
         idx = jnp.sum((m_f > bounds).astype(jnp.int32))
         comp, changed, edges = jax.lax.switch(idx, branches, state)
         stats = record_iteration(
             state.stats,
             frontier_len=jnp.sum(fmask.astype(jnp.int32)), edges=edges)
-        return _State(comp=comp, changed=changed, stats=stats)
+        return _State(comp=comp, c_hat=state.c_hat, changed=changed,
+                      stats=stats)
 
-    init = _State(comp=comp, changed=jnp.bool_(True), stats=stats)
-    final = jax.lax.while_loop(cond, body, init)
-    comp = _jump_fixpoint(final.comp)
+    final = jax.lax.while_loop(cond, body, state)
+    probe = jnp.stack([final.stats.iteration,
+                       final.changed.astype(jnp.int32)])
+    return final, probe
 
-    is_root = vmask & (comp == jnp.arange(v_pad, dtype=jnp.int32))
+
+def _cc_finalize(graph: DeviceGraph, state: _State):
+    comp = _jump_fixpoint(state.comp)
+    vmask = jnp.arange(graph.v_pad, dtype=jnp.int32) < graph.num_nodes
+    is_root = vmask & (comp == jnp.arange(graph.v_pad, dtype=jnp.int32))
     num_components = jnp.sum(is_root.astype(jnp.int32))
-    return comp, num_components, final.stats
+    return comp, num_components
 
 
-_cc_jit = jax.jit(_cc_loop, static_argnames=("pallas",))
+_cc_chunk_jit = jax.jit(_cc_chunk, static_argnames=("pallas", "init"))
+_cc_finalize_jit = jax.jit(_cc_finalize)
 
 
-def cc_device(graph: DeviceGraph):
+def _cc_loop(graph: DeviceGraph, pallas: bool = False):
+    """One-shot trace of the full enactment (kept for kernel-equality
+    tests that run it with monkeypatched interpret-mode kernels)."""
+    state, _ = _cc_chunk(graph, None, jnp.int32(4 * graph.num_nodes + 16),
+                         pallas=pallas, init=True)
+    comp, num_components = _cc_finalize(graph, state)
+    return comp, num_components, state.stats
+
+
+def cc_device(graph: DeviceGraph, *, instrument: Optional[list] = None):
+    """``instrument``: pass a list to enact one phase-3 round per device
+    call and collect per-round wall-clock records (reference
+    ``--instrumented`` kernel stats, ``util/kernel_runtime_stats.cuh``)."""
     use_pallas = (jax.default_backend() == "tpu" and
                   graph.has_blocked_values)
     if graph.edge_src is None and not use_pallas:
         raise ValueError("CC needs to_device(with_edge_src=True)")
-    return _cc_jit(graph, pallas=use_pallas)
+    max_iters = 4 * graph.num_nodes + 16
+    if instrument is None:
+        state, _ = _cc_chunk_jit(graph, None, jnp.int32(max_iters),
+                                 pallas=use_pallas, init=True)
+    else:
+        import time as _time
+        t0 = _time.perf_counter()
+        upto = NEIGHBOR_ROUNDS + 1
+        state, probe = _cc_chunk_jit(graph, None, jnp.int32(upto),
+                                     pallas=use_pallas, init=True)
+        while True:
+            it, changed = (int(x) for x in np.asarray(probe))
+            t1 = _time.perf_counter()
+            trace = np.asarray(state.stats.frontier_trace)
+            instrument.append({
+                "iteration": it, "ms": (t1 - t0) * 1e3,
+                "frontier": int(trace[min(it - 1, len(trace) - 1)])})
+            t0 = t1
+            if not changed or it < upto or upto >= max_iters:
+                break
+            upto += 1
+            state, probe = _cc_chunk_jit(graph, state, jnp.int32(upto),
+                                         pallas=use_pallas, init=False)
+    comp, num_components = _cc_finalize_jit(graph, state)
+    return comp, num_components, state.stats
 
 
 def _is_symmetric(graph: CsrGraph) -> bool:
@@ -250,13 +306,16 @@ def _is_symmetric(graph: CsrGraph) -> bool:
     return fwd == rev
 
 
-def cc(graph: Union[CsrGraph, DeviceGraph]) -> CcResult:
+def cc(graph: Union[CsrGraph, DeviceGraph], *,
+       instrumented: bool = False) -> CcResult:
     """C API parity: ``gunrock_cc`` (``gunrock.h:227``). The input is
     treated as undirected connectivity (the reference expects symmetric
     edges); a directed CsrGraph is symmetrized here so the sampled
     remainder hooking (which walks out-edges only) stays correct —
-    components are then weakly-connected components."""
+    components are then weakly-connected components. ``instrumented``
+    collects per-round records into ``info["per_iteration"]``."""
     timer = Timer()
+    per_iter: Optional[list] = [] if instrumented else None
     num_nodes = graph.num_nodes
     symmetrized = False
     if isinstance(graph, CsrGraph):
@@ -273,7 +332,7 @@ def cc(graph: Union[CsrGraph, DeviceGraph]) -> CcResult:
 
     with timer.time("process_ms"):
         comp, num_components, stats = jax.block_until_ready(
-            cc_device(dgraph))
+            cc_device(dgraph, instrument=per_iter))
 
     comp_np = np.asarray(comp)[:num_nodes]
     info = make_info(
@@ -282,7 +341,9 @@ def cc(graph: Union[CsrGraph, DeviceGraph]) -> CcResult:
         edges_visited=int(dgraph.num_edges),
         extra={"num_components": int(num_components),
                "symmetrized": symmetrized,
-               "search_depth": int(stats.iteration)},
+               "search_depth": int(stats.iteration),
+               "instrumented": instrumented,
+               **({"per_iteration": per_iter} if instrumented else {})},
     )
     return CcResult(components=comp_np, num_components=int(num_components),
                     info=info)

@@ -294,18 +294,26 @@ def _build_ghost_tables(csc_row: np.ndarray, csc_col: np.ndarray,
     ``partitioner_base.cuh:295-340,357-383``.
     """
     p = num_shards
-    ghosts = [[None] * p for _ in range(p)]   # ghosts[i][j] = sorted G_ij
+    # Because new vertex ids are owner-major (owner = id // S), one
+    # np.unique per consumer yields every per-producer boundary set
+    # already sorted and grouped — the owner segments of the unique
+    # array ARE G_i0..G_ip. Total work O(E log E); the old formulation
+    # rescanned the remote edges once per (consumer, producer) pair,
+    # an O(p^2 * E) wall at pod scale.
+    uniq = []          # uniq[i] = sorted unique remote srcs of shard i
+    seg = []           # seg[i][j] = start of owner-j segment in uniq[i]
     cap = 1
     for i in range(p):
         ne = int(csc_row[i, -1])
         srcs = csc_col[i, :ne]
         owner = srcs // S
-        remote = owner != i
-        ru, ro = srcs[remote], owner[remote]
-        for j in range(p):
-            gij = np.unique(ru[ro == j])
-            ghosts[i][j] = gij
-            cap = max(cap, len(gij))
+        gi = np.unique(srcs[owner != i])
+        bounds = np.searchsorted(gi, np.arange(p + 1) * S)
+        uniq.append(gi)
+        seg.append(bounds)
+        sizes = np.diff(bounds)
+        if sizes.size:
+            cap = max(cap, int(sizes.max()))
     ghost_cap = -(-cap // 128) * 128
     send_idx = np.zeros((p, p, ghost_cap), np.int32)
     csc_local = np.zeros_like(csc_col)
@@ -313,15 +321,18 @@ def _build_ghost_tables(csc_row: np.ndarray, csc_col: np.ndarray,
         ne = int(csc_row[i, -1])
         srcs = csc_col[i, :ne]
         owner = srcs // S
+        gi, bounds = uniq[i], seg[i]
+        counts = np.diff(bounds)
+        # producer-side send tables: local ids of shard j's boundary set
+        jidx = np.repeat(np.arange(p), counts)
+        slotidx = np.arange(len(gi)) - np.repeat(bounds[:-1], counts)
+        send_idx[jidx, i, slotidx] = (gi - jidx * S).astype(np.int32)
+        # consumer-side remap: remote srcs -> S + owner*cap + slot
+        remote = owner != i
+        pos = np.searchsorted(gi, srcs[remote])
+        slot = pos - bounds[:-1][owner[remote]]
         local = srcs - i * S
-        for j in range(p):
-            gij = ghosts[i][j]
-            send_idx[j, i, :len(gij)] = (gij - j * S).astype(np.int32)
-            if j == i or len(gij) == 0:
-                continue
-            sel = owner == j
-            slot = np.searchsorted(gij, srcs[sel])
-            local[sel] = S + j * ghost_cap + slot
+        local[remote] = S + owner[remote] * ghost_cap + slot
         csc_local[i, :ne] = local.astype(np.int32)
     return csc_local, send_idx, ghost_cap
 

@@ -9,6 +9,12 @@ Multi-chip hardware is not available in CI; like the reference's
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Drop accelerator-tunnel sitecustomize dirs from the inherited
+# PYTHONPATH: every subprocess a test spawns is CPU-only and must not
+# block dialing a remote backend (the tunnel can be wedged/absent in CI).
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if p and "axon" not in p)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -84,6 +84,11 @@ def test_cli_legacy_primitives(prim, capsys):
 
 def test_cli_module_entry():
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # Drop accelerator-tunnel sitecustomize dirs: this is a CPU-only
+    # subprocess check and must not block dialing a remote backend.
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p)
     p = subprocess.run(
         [sys.executable, "-m", "gunrock_tpu", "bfs", "rmat",
          "--rmat_scale=6", "--quick", "--quiet"],

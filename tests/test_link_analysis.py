@@ -20,6 +20,31 @@ def test_hits_oracle(directed_graph):
     np.testing.assert_allclose(res.auths, auth_exp, rtol=1e-3, atol=1e-5)
 
 
+def test_hits_matches_reference_raw_pingpong(directed_graph):
+    """Scale-invariance vs the reference's RAW (unnormalized) ping-pong.
+
+    The reference HITS never normalizes between iterations
+    (``hits_enactor.cuh:93-113`` NormalizeRank only swaps+zeroes); our
+    per-iteration max-normalize changes only the scale of each vector,
+    never the direction. Verify: raw fp64 power iteration, normalized
+    once at the end, equals our output (doc/parity.md HITS note).
+    """
+    g = directed_graph
+    iters = 12   # few enough that raw fp64 sums stay finite
+    n = g.num_nodes
+    src = g.edge_sources()
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(iters):
+        auth = np.bincount(g.col_indices, weights=hub[src], minlength=n)
+        hub = np.bincount(src, weights=auth[g.col_indices], minlength=n)
+    auth /= max(auth.max(), 1e-300)
+    hub /= max(hub.max(), 1e-300)
+    res = gt.hits(g, max_iters=iters)
+    np.testing.assert_allclose(res.auths, auth, rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(res.hubs, hub, rtol=2e-3, atol=1e-5)
+
+
 def test_hits_star():
     # star: 1..4 -> 0. Vertex 0 is the authority; 1..4 are hubs.
     g = gt.from_coo(5, [1, 2, 3, 4], [0, 0, 0, 0])

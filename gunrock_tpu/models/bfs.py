@@ -225,6 +225,72 @@ def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool,
     return make
 
 
+DEEP_CAP = 4096     # micro-loop rung: every op stays at this scale
+
+
+def _make_deep_loop(graph: DeviceGraph, fcap: int, mark_preds: bool,
+                    upto: jax.Array):
+    """Deep-graph regime: many tiny levels (road/grid diameters).
+
+    The general push rung pays per-level costs that dwarf a tiny
+    frontier's edges: the ladder switch, the V-scale claim table in
+    ``dedup_winners``, and the fcap-wide queue compaction. This inner
+    while_loop runs whole stretches of small levels with every operation
+    at DEEP_CAP scale: duplicate destinations are culled by a stable
+    rung-width sort (first lane of each run wins — deterministic, like
+    the claim dedup) and the compacted frontier writes back through a
+    DEEP_CAP-wide dynamic_update_slice. Exits when the frontier's edge
+    volume outgrows the rung (outer ladder takes over), at convergence,
+    or at the ``upto`` chunk bound. Reference context: the small-frontier
+    path of the LB advance (RelaxLightEdges,
+    ``oprtr/edge_map_partitioned/kernel.cuh:355``)."""
+    C = DEEP_CAP
+    lane = jnp.arange(C, dtype=jnp.int32)
+
+    def micro_cond(st: _State):
+        return (st.n > 0) & (st.m_f <= C) & (st.n <= C) & \
+               (st.stats.iteration < upto) & (~st.stats.overflow)
+
+    def micro_body(st: _State):
+        depth = st.stats.iteration + 1
+        fr = jax.lax.dynamic_slice(st.frontier, (0,), (C,))
+        fr = jnp.sort(jnp.where(lane < st.n, fr, jnp.int32(0x7FFFFFF0)))
+        fr = jnp.minimum(fr, graph.v_pad - 1)
+        ex = expand(graph, fr, st.n, C, sorted_frontier=True,
+                    with_src=mark_preds)
+        is_new = ex.mask & (st.labels[ex.dst] == INVALID)
+        key = jnp.where(is_new, ex.dst, jnp.int32(0x7FFFFFF0))
+        if mark_preds:
+            key_s, src_s = jax.lax.sort((key, ex.src), num_keys=1,
+                                        is_stable=True)
+        else:
+            key_s = jax.lax.sort(key, is_stable=True)
+        keep = (key_s < jnp.int32(0x7FFFFFF0)) & jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), key_s[1:] != key_s[:-1]])
+        labels = scatter_set(st.labels, key_s, depth, mask=keep)
+        preds = st.preds
+        if mark_preds:
+            preds = scatter_set(preds, key_s, src_s, mask=keep)
+        newf, n_next = compact(key_s, keep, C)
+        deg = jnp.take(graph.row_offsets, newf + 1) - \
+            jnp.take(graph.row_offsets, newf)
+        m_f_next = _i32(jnp.sum(jnp.where(lane < n_next, deg, 0)))
+        frontier = jax.lax.dynamic_update_slice(st.frontier, newf, (0,))
+        stats = record_iteration(st.stats, frontier_len=n_next,
+                                 edges=ex.total)
+        return _State(
+            labels=labels, preds=preds, frontier=frontier, n=n_next,
+            m_f=m_f_next, fvalid=jnp.bool_(True),
+            use_pull=jnp.bool_(False),
+            unexplored=st.unexplored - st.m_f.astype(jnp.float32),
+            stats=stats,
+        )
+
+    def run(state: _State):
+        return jax.lax.while_loop(micro_cond, micro_body, state)
+    return run
+
+
 def _pull_step(graph: DeviceGraph, fcap: int, mark_preds: bool,
                state: _State, use_pallas: bool = False):
     """Full-edge pull over CSC: v joins the frontier iff any in-neighbor is
@@ -324,6 +390,21 @@ def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
     push = _make_push_branch(graph, fcap, mark_preds,
                              use_pallas=pallas_pull,
                              may_rebuild=direction_optimized)
+    deep = (_make_deep_loop(graph, fcap, mark_preds, upto)
+            if not direction_optimized and fcap >= DEEP_CAP else None)
+
+    def _general_level(state: _State, m_f):
+        dispatch_size = jnp.maximum(m_f, state.n)
+        (labels, preds, frontier, n, m_f_next, fvalid, edges,
+         overflow) = dispatch_by_size(dispatch_size, caps, push, state)
+        stats = record_iteration(state.stats, frontier_len=n, edges=edges,
+                                 overflow=overflow)
+        return _State(
+            labels=labels, preds=preds, frontier=frontier, n=n,
+            m_f=m_f_next, fvalid=fvalid, use_pull=state.use_pull,
+            unexplored=state.unexplored - m_f.astype(jnp.float32),
+            stats=stats,
+        )
 
     def cond(state: _State):
         return (state.n > 0) & (state.stats.iteration < upto) & \
@@ -361,6 +442,13 @@ def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
                 state,
             )
         else:
+            if deep is not None:
+                # Deep-graph regime: a whole stretch of tiny levels runs
+                # in the rung-scale micro-loop; this body only sees the
+                # levels whose frontiers outgrow it.
+                return jax.lax.cond(
+                    dispatch_size <= DEEP_CAP, deep,
+                    lambda s: _general_level(s, m_f), state)
             use_pull = state.use_pull
             (labels, preds, frontier, n, m_f_next, fvalid, edges,
              overflow) = dispatch_by_size(dispatch_size, caps, push, state)

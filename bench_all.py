@@ -220,6 +220,21 @@ def main():
              {"search_depth": depth})
         del dgg
 
+        # SSSP near-far on the same road-like graph (reference road_usa
+        # SSSP row: 5.2 MTEPS on K40c, doc/stats/engines_topc.md).
+        from gunrock_tpu.models.sssp import sssp_device
+        gg.random_edge_values(seed=1)
+        dgw = gt.to_device(gg, with_edge_values=True)
+        # delta tuned for the micro-queue: keeps the near bucket inside
+        # the DEEP_CAP rung (the reference tunes --delta-factor per
+        # graph the same way, dataset/test-scripts/ipdps17/run_fig2.sh).
+        out = jax.block_until_ready(
+            sssp_device(dgw, 0, mode="nearfar", delta=256.0))
+        ms = best_ms(lambda: sssp_device(dgw, 0, mode="nearfar",
+                                         delta=256.0))
+        emit("sssp_deep_grid1024", ms, gg.num_edges)
+        del dgw
+
     if want("tc"):
         # TC wedge volume on hub-heavy rmat grows superlinearly; the TC
         # row uses a smaller standard graph (reference TC benches do the

@@ -225,7 +225,12 @@ def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool,
     return make
 
 
-DEEP_CAP = 4096     # micro-loop rung: every op stays at this scale
+# Micro-loop rung: every op stays at this scale. A single rung — a
+# lax.switch ladder inside the micro loop forces XLA to copy the V-scale
+# carried state per level (measured 5x slower on grid1024). Sized so a
+# road/grid wavefront's edge volume fits (grid wavefronts run ~4*side
+# lanes: side 1448 -> m_f ~5790).
+DEEP_CAP = 8192
 
 
 def _make_deep_loop(graph: DeviceGraph, fcap: int, mark_preds: bool,

@@ -173,6 +173,133 @@ def _pull_relax(graph: DeviceGraph, state: _State, fcap: int):
             n_next > fcap)
 
 
+# Micro-loop rung (see models/bfs.py DEEP_CAP): a single rung — a branch
+# ladder inside the micro loop forces XLA to copy the V-scale carried
+# state per round. Deep entry needs fcap >= 2*DEEP_CAP (the merged queue
+# write-back is 2C wide).
+DEEP_CAP = 8192
+
+
+def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
+                    upto: jax.Array, upto_edges: jax.Array):
+    """Deep-graph regime: many tiny relaxation rounds (road/grid
+    diameters). Mirrors the BFS micro-loop (``models/bfs.py``) but keeps
+    true near-far scheduling: the rung-scale QUEUE carries every vertex
+    with a pending improvement (near and far mixed); each round relaxes
+    only the sub-threshold (near) subset, merges the winners back by a
+    2C sort-dedup, and advances the threshold one shot when the near
+    bucket drains (``near_far_pile.cuh:35-60`` Bisect, algebraically).
+    Every operation is DEEP_CAP-scale — none of the vertex-scale
+    pile/mask passes of the general near-far step run per round. The
+    queue spills to the general ladder (via micro_cond) when it outgrows
+    the rung; the far-pile MASK (populated only by general rounds) is
+    refilled from at stretch granularity, not per round."""
+    C = DEEP_CAP
+    lane = jnp.arange(C, dtype=jnp.int32)
+    lane2 = jnp.arange(2 * C, dtype=jnp.int32)
+    SENT = jnp.int32(0x7FFFFFF0)
+    nearfar = mode == "nearfar"
+
+    def micro_cond(st: _State):
+        return (st.n > 0) & (st.n <= C) & (st.m_f <= C) & \
+               (st.stats.iteration < upto) & \
+               (st.stats.edges_queued < upto_edges) & \
+               (~st.stats.overflow)
+
+    def micro_body(st: _State):
+        q = jax.lax.dynamic_slice(st.frontier, (0,), (C,))
+        valid = lane < st.n
+        q = jnp.where(valid, q, graph.v_pad - 1)
+        dq = jnp.take(st.dist, q, indices_are_sorted=True)
+        if nearfar:
+            near = valid & (dq < st.level)
+            any_near = jnp.any(near)
+            # Near bucket empty: one-shot Bisect — jump the threshold
+            # just past the cheapest queued tentative distance.
+            min_dq = jnp.min(jnp.where(valid, dq, INF))
+            k = jnp.maximum(
+                jnp.floor((min_dq - st.level) / delta) + 1.0, 1.0)
+            level = jnp.where(any_near, st.level, st.level + k * delta)
+        else:
+            near = valid
+            level = st.level
+
+        # Relax the near subset (C-scale; a no-op round when empty).
+        nq, nn = compact(q, near, C, fill=graph.v_pad - 1)
+        ex = expand(graph, nq, _i32(nn), C, sorted_frontier=True,
+                    with_dst=False)
+        dst = jnp.take(graph.col_indices, ex.eid, indices_are_sorted=True)
+        w = jnp.take(graph.edge_values, ex.eid, indices_are_sorted=True)
+        dsrc = jnp.take(st.dist, ex.src, indices_are_sorted=True)
+        cand = jnp.where(ex.mask, dsrc + w, INF)
+        dstm = jnp.where(ex.mask, dst, graph.v_pad - 1)
+        sd, sc = jax.lax.sort((dstm, cand), num_keys=2)
+        head = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                sd[1:] != sd[:-1]])
+        d_old = jnp.take(st.dist, sd, indices_are_sorted=True)
+        win = head & (sc < d_old)
+        dist = scatter_set(st.dist, sd, sc, mask=win)
+
+        # New queue = (queued \ relaxed-near) | winners: 2C sort-dedup.
+        merged = jax.lax.sort(jnp.concatenate(
+            [jnp.where(valid & ~near, q, SENT),
+             jnp.where(win, sd, SENT)]))
+        mhead = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                 merged[1:] != merged[:-1]])
+        keep = mhead & (merged < SENT)
+        newq, n2 = compact(merged, keep, 2 * C, fill=graph.v_pad - 1)
+        n2 = _i32(n2)
+        deg = jnp.take(graph.row_offsets, newq + 1) - \
+            jnp.take(graph.row_offsets, newq)
+        m2 = _i32(jnp.sum(jnp.where(lane2 < n2, deg, 0)))
+        frontier = jax.lax.dynamic_update_slice(st.frontier, newq, (0,))
+        stats = record_iteration(st.stats, frontier_len=n2,
+                                 edges=ex.total)
+        return _State(dist=dist, frontier=frontier, n=n2, m_f=m2,
+                      active=st.active, level=level, stats=stats)
+
+    def micro(state: _State):
+        return jax.lax.while_loop(micro_cond, micro_body, state)
+
+    if mode != "nearfar":
+        return micro
+
+    lane_f = jnp.arange(fcap, dtype=jnp.int32)
+
+    def run(state: _State):
+        st = micro(state)
+
+        def refill(st: _State):
+            dist = st.dist
+
+            def body(a):
+                lvl, nr, act = a
+                lvl = lvl + delta
+                nr2 = act & (dist < lvl)
+                return lvl, nr2, act & ~nr2
+
+            def cond(a):
+                _, nr, act = a
+                return (~jnp.any(nr)) & jnp.any(act)
+
+            level, near, active = jax.lax.while_loop(
+                cond, body,
+                (st.level, jnp.zeros_like(st.active), st.active))
+            nq, n = frontier_from_mask(near, fcap)
+            nq = jnp.where(lane_f < n, nq, graph.v_pad - 1)
+            deg = graph.row_offsets[1:] - graph.row_offsets[:-1]
+            m_f = _i32(jnp.sum(jnp.where(near, deg, 0)))
+            stats = dataclasses.replace(
+                st.stats, overflow=st.stats.overflow | (n > fcap))
+            return _State(dist=dist, frontier=nq, n=_i32(n), m_f=m_f,
+                          active=active, level=level, stats=stats)
+
+        return jax.lax.cond((st.n == 0) & jnp.any(st.active), refill,
+                            lambda s: s, st)
+
+    return run
+
+
 def _make_bellman_branch(graph, fcap, use_pallas):
     def make(cap):
         def step(state: _State):
@@ -233,15 +360,18 @@ def _make_nearfar_branch(graph, fcap, delta, use_pallas):
 
 
 def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
-               delta: jax.Array, *,
+               delta: jax.Array, upto_edges: jax.Array, *,
                fcap: int, caps: tuple[int, ...], mode: str,
                pallas: bool = False, init: bool = False):
-    """Run relaxation rounds until convergence or ``upto`` iterations.
+    """Run relaxation rounds until convergence, ``upto`` iterations, or
+    ``upto_edges`` cumulative relaxed edge-lanes.
 
-    Bounded so the host can enact in chunks (one compiled while_loop per
-    chunk) — long traversals otherwise exceed device-execution limits,
-    and this mirrors the reference's enactor driving rounds from the
-    host."""
+    Both bounds exist so the host can enact in chunks (one compiled
+    while_loop per chunk) — long traversals otherwise exceed device
+    execution limits, and this mirrors the reference's enactor driving
+    rounds from the host. The edge bound is the one that tracks device
+    time (a round costs ~its edge count); the iteration bound caps
+    per-round loop overhead on deep graphs."""
     if init:
         state = _sssp_init(graph, state, mode, delta, fcap)
     # pallas => streamed push payload samplers (TPU); the full-edge pull
@@ -252,12 +382,15 @@ def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
         branch = _make_nearfar_branch(graph, fcap, delta, pallas)
     else:
         branch = _make_bellman_branch(graph, fcap, pallas)
+    deep = (_make_deep_loop(graph, fcap, delta, mode, upto, upto_edges)
+            if fcap >= 2 * DEEP_CAP else None)
 
     def cond(state: _State):
         return (state.n > 0) & (state.stats.iteration < upto) & \
+               (state.stats.edges_queued < upto_edges) & \
                (~state.stats.overflow)
 
-    def body(state: _State):
+    def general(state: _State):
         if use_pull:
             # Direction dispatch (reference DO vote analogue): a full
             # pull pass costs ~fixed; the streamed push costs ~40ns per
@@ -277,6 +410,13 @@ def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
                                  overflow=overflow)
         return _State(dist=dist, frontier=frontier, n=n, m_f=m_f,
                       active=active, level=level, stats=stats)
+
+    def body(state: _State):
+        if deep is None:
+            return general(state)
+        return jax.lax.cond(
+            jnp.maximum(state.m_f, state.n) <= DEEP_CAP, deep, general,
+            state)
 
     out = jax.lax.while_loop(cond, body, state)
     probe = jnp.stack([out.stats.iteration,
@@ -345,13 +485,18 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
         max_iters = 4 * graph.num_nodes + 16
     use_pallas = jax.default_backend() == "tpu"
     if chunk_iters is None:
-        # Bound each device call well under execution watchdogs: big
-        # graphs relax at most a few full-edge rounds per call.
-        chunk_iters = max(1, min(64, (1 << 27) // max(graph.e_pad, 1) * 8))
+        # Many micro rounds per chunk are fine (each is DEEP_CAP-scale);
+        # the edge budget below is what bounds big rounds.
+        chunk_iters = 16384
+    # Per-chunk edge-lane budget: bounds device time per call well under
+    # execution watchdogs (a round costs ~its edge count; a full pull
+    # charges num_edges).
+    chunk_edges = float(min(4 * max(graph.e_pad, 1), 1 << 29))
     if instrument is not None:
         chunk_iters = 1
-    def chunk(st, upto, first):
+    def chunk(st, upto, edge_hi, first):
         return _sssp_jit(graph, st, jnp.int32(upto), jnp.float32(delta),
+                         jnp.float32(edge_hi),
                          fcap=fcap, caps=caps, mode=mode,
                          pallas=use_pallas, init=first)
 
@@ -359,8 +504,8 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
     import time as _time
     t0 = _time.perf_counter()
     upto = min(chunk_iters, max_iters)
-    state, probe = chunk(jnp.int32(src), upto, True)
-    while upto < max_iters:
+    state, probe = chunk(jnp.int32(src), upto, chunk_edges, True)
+    while True:
         it, ovf, n = (int(x) for x in np.asarray(probe))
         if instrument is not None:
             t1 = _time.perf_counter()
@@ -368,10 +513,11 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
                 "iteration": it, "ms": (t1 - t0) * 1e3, "frontier": n,
                 "m_f": int(np.asarray(state.m_f))})
             t0 = t1
-        if it < upto or ovf or n == 0:
+        if ovf or n == 0 or it >= max_iters:
             break
-        upto = min(upto + chunk_iters, max_iters)
-        state, probe = chunk(state, upto, False)
+        upto = min(it + chunk_iters, max_iters)
+        edge_hi = float(np.asarray(state.stats.edges_queued)) + chunk_edges
+        state, probe = chunk(state, upto, edge_hi, False)
     preds = jnp.zeros((1,), jnp.int32)
     if mark_preds:
         preds = jax.jit(_fill_preds)(graph, state.dist)

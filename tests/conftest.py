@@ -79,3 +79,15 @@ def road_like():
     src = np.concatenate([idx[:, :-1].ravel(), idx[:-1, :].ravel()])
     dst = np.concatenate([idx[:, 1:].ravel(), idx[1:, :].ravel()])
     return gt.from_coo(n * n, src, dst, undirected=True)
+
+
+@pytest.fixture(scope="session")
+def road_big():
+    """Grid large enough that the deep-regime micro-loops engage
+    (BFS needs fcap=v_pad//4 >= models.bfs.DEEP_CAP, SSSP needs
+    fcap >= 2*models.sssp.DEEP_CAP)."""
+    n = 192
+    idx = np.arange(n * n).reshape(n, n)
+    src = np.concatenate([idx[:, :-1].ravel(), idx[:-1, :].ravel()])
+    dst = np.concatenate([idx[:, 1:].ravel(), idx[1:, :].ravel()])
+    return gt.from_coo(n * n, src, dst, undirected=True)

@@ -113,3 +113,13 @@ def test_bfs_instrumented_per_iteration_records(rmat_small):
         len(rec) == res.info["search_depth"] + 1
     assert all(r["ms"] > 0 for r in rec)
     assert any(r["pull"] for r in rec)  # scale-free: pull must engage
+
+
+def test_bfs_deep_micro_loop(road_big):
+    """Grid big enough that the deep-regime micro while_loop engages
+    (models/bfs.py _make_deep_loop); whole level stretches run at
+    DEEP_CAP scale. Validates labels + preds against the oracle."""
+    res = gt.bfs(road_big, src=0, mark_preds=True)
+    np.testing.assert_array_equal(res.labels, cpu_bfs(road_big, 0))
+    assert res.info["search_depth"] == 382  # 191+191 grid diameter
+    _check_preds(road_big, res.labels, res.preds, 0)

@@ -70,3 +70,15 @@ def test_sssp_chunked_enactment(weighted_rmat):
     ref = jax.block_until_ready(sssp_device(dg, 3))
     got = jax.block_until_ready(sssp_device(dg, 3, chunk_iters=2))
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+
+
+def test_sssp_deep_micro_queue(road_big):
+    """Grid big enough that the near-far micro-queue engages
+    (models/sssp.py _make_deep_loop): rung-scale rounds relax only the
+    sub-threshold subset with a sort-dedup queue merge. Validates both
+    modes against Dijkstra."""
+    road_big.random_edge_values(seed=11)
+    want = cpu_sssp(road_big, 0)
+    for mode in ("bellman", "nearfar"):
+        r = sssp(road_big, src=0, mode=mode)
+        np.testing.assert_allclose(r.distances, want, rtol=1e-5)

@@ -148,7 +148,11 @@ def main():
                            with_blocked_values=True,
                            blocked_cache=blockedv_cache)
         mode = "nearfar" if meshy else "bellman"
-        delta = 32.0 * float(np.mean(g.edge_values))
+        # Per-graph tuned delta-factor (the reference does the same,
+        # dataset/test-scripts/ipdps17/run_fig2.sh): meshy graphs take a
+        # small delta so the near bucket stays inside the micro-queue
+        # rung (measured 2.5x on grid1024 vs delta_factor 32).
+        delta = (8.0 if meshy else 32.0) * float(np.mean(g.edge_values))
         out = jax.block_until_ready(
             sssp_device(dgw, src, mode=mode, delta=delta))
         reached = np.isfinite(np.asarray(out[0])[: g.num_nodes])

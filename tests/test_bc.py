@@ -46,3 +46,21 @@ def test_bc_deep_graph(road_like):
     expected = cpu_bc(road_like, src=0)
     np.testing.assert_allclose(res.bc_values, expected, rtol=1e-3,
                                atol=1e-4)
+
+
+def test_bc_hybrid_pull_levels(rmat_small):
+    """The TPU path's hybrid dispatch (push small levels, blocked-kernel
+    pull for big ones) must match the oracle; exercised in pallas
+    interpret mode on CPU."""
+    import jax
+    import jax.numpy as jnp
+    from gunrock_tpu.enactor import capacity_ladder
+    from gunrock_tpu.models.bc import _bc_jit
+    dg = gt.to_device(rmat_small, with_blocked_values=True)
+    out = jax.block_until_ready(
+        _bc_jit(dg, jnp.int32(0), fcap=dg.v_pad,
+                caps=tuple(capacity_ladder(dg.e_pad)),
+                pallas=True, interpret=True))
+    got = np.asarray(out[0])[: rmat_small.num_nodes] * 0.5
+    np.testing.assert_allclose(got, cpu_bc(rmat_small, src=0),
+                               rtol=1e-3, atol=1e-4)

@@ -1,0 +1,23 @@
+#!/bin/bash
+# Round-3 auto-measure: waits for the TPU tunnel, then captures the full
+# benchmark suite into bench_r3_auto.jsonl. Safe to re-run; appends with
+# timestamps.
+cd /root/repo
+OUT=bench_r3_auto.jsonl
+for i in $(seq 1 400); do
+  if timeout 90 python -c "import jax; assert jax.devices()" 2>/dev/null; then
+    echo "# TPU up at $(date -u +%H:%M:%S)" >> $OUT
+    break
+  fi
+  sleep 90
+done
+timeout 90 python -c "import jax; assert jax.devices()" 2>/dev/null || exit 1
+run() {
+  echo "# $1 start $(date -u +%H:%M:%S)" >> $OUT
+  timeout 3000 bash -c "$2" >> $OUT 2>&1
+  echo "# $1 exit=$? $(date -u +%H:%M:%S)" >> $OUT
+}
+run flagship "python bench.py"
+run table    "python bench_all.py"
+run deep     "BENCH_ONLY=deep python bench_all.py"
+run tc       "BENCH_ONLY=tc python bench_all.py"

@@ -14,6 +14,13 @@ over backward partition tables (``bc_enactor.cuh:1528-1870``), we sort
 vertices by BFS depth once and slice per-level frontiers from the sorted
 order — same replay, one argsort.
 
+Both phases dispatch per level between frontier-proportional push and a
+blocked value-kernel pull pass (``pallas=True`` — the direction-optimized
+shape of DO-BFS applied to Brandes). The TPU path chunk-enacts bounded
+level counts per device call (``_bc_hybrid``), the same discipline as
+``bfs_device``/``sssp_device``, so deep-graph traversals stay under the
+serving path's execution limits.
+
 Outputs are scaled by 0.5 (undirected double-count), matching the
 reference CPU validation (``tests/bc/test_bc.cu`` RefCPUBC).
 """
@@ -88,63 +95,80 @@ def _make_forward_branch(graph: DeviceGraph, fcap: int):
     return make
 
 
-def _bc_loop(graph: DeviceGraph, src: jax.Array, *, fcap: int,
-             caps: tuple[int, ...], pallas: bool = False,
-             interpret: bool = False):
-    """Hybrid Brandes: frontier-proportional push levels with a blocked
-    value-kernel pull pass for the few big levels (``pallas=True``, the
-    direction-optimized dispatch of the reference's forward/backward
-    advances — the all-pull TPU path paid 2*depth full-edge passes even
-    for tiny levels)."""
-    v_pad = graph.v_pad
-    labels = jnp.full((v_pad,), -1, jnp.int32).at[src].set(0)
-    sigma = jnp.zeros((v_pad,), jnp.float32).at[src].set(1.0)
-    frontier = jnp.zeros((fcap,), jnp.int32).at[0].set(src)
+# ---------------------------------------------------------------------------
+# Shared per-level pull passes (one blocked value-kernel pass each).
+# Both the hybrid loop and the instrumented all-pull path route through
+# these, so the two TPU paths produce identical sigma/delta.
+# ---------------------------------------------------------------------------
+
+def _fwd_level_pull(graph, labels, sigma, depth, interpret: bool = False):
+    """sigma[v] = sum of sigma over in-neighbors one level up; returns
+    (labels', sigma', newly_discovered_mask)."""
+    from ..ops.pallas_kernels import pull_vertex_reduce
+    contrib = jnp.where(labels == depth - 1, sigma, 0.0)
+    s = pull_vertex_reduce(contrib, graph, op="sum", wmode="none",
+                           interpret=interpret)
+    new = (labels == -1) & (s > 0)
+    return jnp.where(new, depth, labels), jnp.where(new, s, sigma), new
+
+
+def _bwd_level_pull(graph, labels, sigma, delta, t, interpret: bool = False):
+    """delta[u] = sigma[u] * sum over neighbors one level down of
+    (1+delta)/sigma, for the level-``t`` ring."""
+    from ..ops.pallas_kernels import pull_vertex_reduce
+    contrib = jnp.where(labels == t + 1,
+                        (1.0 + delta) / jnp.maximum(sigma, 1e-30), 0.0)
+    acc = pull_vertex_reduce(contrib, graph, op="sum", wmode="none",
+                             interpret=interpret)
+    return jnp.where(labels == t, sigma * acc, delta)
+
+
+def _make_fwd_step(graph: DeviceGraph, fcap: int, caps, pallas: bool,
+                   interpret: bool):
+    """One forward level: ladder push, or (pallas) one pull pass for big
+    levels. Pull wins once a level's push lanes (~100ns each: claim-dedup
+    + scatter-add) outweigh one ~2ns/edge full pass — threshold E/32."""
+    from ..ops.segment import frontier_from_mask
     fwd = _make_forward_branch(graph, fcap)
-    # Pull wins once a level's push lanes (~100ns each: claim-dedup +
-    # scatter-add) outweigh one ~2ns/edge full pass.
     pull_threshold = jnp.int32(max(1, min(graph.num_edges // 32, 2**30)))
     edges_i32 = jnp.int32(min(graph.num_edges, 2**31 - 1))
 
     def _fwd_pull(state: _FwdState):
-        from ..ops.pallas_kernels import pull_vertex_reduce
-        from ..ops.segment import frontier_from_mask
         depth = state.stats.iteration + 1
-        contrib = jnp.where(state.labels == depth - 1, state.sigma, 0.0)
-        s = pull_vertex_reduce(contrib, graph, op="sum", wmode="none",
-                               interpret=interpret)
-        new = (state.labels == -1) & (s > 0)
-        labels = jnp.where(new, depth, state.labels)
-        sigma = jnp.where(new, s, state.sigma)
+        labels, sigma, new = _fwd_level_pull(
+            graph, state.labels, state.sigma, depth, interpret)
         frontier, n = frontier_from_mask(new, fcap)
         return labels, sigma, frontier, n, edges_i32, n > fcap
 
-    def fcond(state: _FwdState):
-        return (state.n > 0) & (~state.stats.overflow)
-
-    def fbody(state: _FwdState):
+    def step(state: _FwdState):
         m_f = _frontier_edges(graph, state.frontier, state.n)
         if pallas:
-            labels, sigma, frontier, n, edges, overflow = jax.lax.cond(
+            out = jax.lax.cond(
                 m_f > pull_threshold, _fwd_pull,
                 lambda st: dispatch_by_size(m_f, caps, fwd, st), state)
         else:
-            labels, sigma, frontier, n, edges, overflow = dispatch_by_size(
-                m_f, caps, fwd, state)
+            out = dispatch_by_size(m_f, caps, fwd, state)
+        labels, sigma, frontier, n, edges, overflow = out
         stats = record_iteration(state.stats, frontier_len=n, edges=edges,
                                  overflow=overflow)
         return _FwdState(labels=labels, sigma=sigma, frontier=frontier,
                          n=n, stats=stats)
+    return step
 
-    fstate = jax.lax.while_loop(
-        fcond, fbody,
-        _FwdState(labels=labels, sigma=sigma, frontier=frontier,
-                  n=jnp.int32(1), stats=init_stats()))
-    labels, sigma = fstate.labels, fstate.sigma
-    max_depth = fstate.stats.iteration  # >= deepest label
 
-    # ---- level replay structure: vertices sorted by depth + level offsets
-    # (the reference's forward_queue_offsets, bc_problem.cuh).
+def _fwd_init(graph: DeviceGraph, src, fcap: int) -> _FwdState:
+    v_pad = graph.v_pad
+    return _FwdState(
+        labels=jnp.full((v_pad,), -1, jnp.int32).at[src].set(0),
+        sigma=jnp.zeros((v_pad,), jnp.float32).at[src].set(1.0),
+        frontier=jnp.zeros((fcap,), jnp.int32).at[0].set(src),
+        n=jnp.int32(1), stats=init_stats())
+
+
+def _level_replay(labels, v_pad: int, fcap: int):
+    """Vertices sorted by BFS depth + level offsets (the reference's
+    forward_queue_offsets, bc_problem.cuh): one argsort replaces the
+    per-iteration frontier stash."""
     BIG = jnp.int32(2**30)
     key = jnp.where(labels >= 0, labels, BIG)
     order = jnp.argsort(key).astype(jnp.int32)          # levels ascending
@@ -152,16 +176,25 @@ def _bc_loop(graph: DeviceGraph, src: jax.Array, *, fcap: int,
     # offsets[l] = first sorted index with depth >= l
     levels = jnp.arange(v_pad + 1, dtype=jnp.int32)
     offsets = jnp.searchsorted(sorted_key, levels).astype(jnp.int32)
-    order_padded = jnp.concatenate(
-        [order, jnp.zeros((fcap,), jnp.int32)])
+    order_padded = jnp.concatenate([order, jnp.zeros((fcap,), jnp.int32)])
+    return order_padded, offsets
 
-    # ---- backward dependency accumulation
+
+def _make_bwd_step(graph: DeviceGraph, labels, sigma, order_padded,
+                   offsets, fcap: int, caps, pallas: bool,
+                   interpret: bool):
+    """One backward level over (delta, t): ladder push from the level-t
+    ring, or (pallas) one pull pass when the ring is big."""
+    pull_threshold = jnp.int32(max(1, min(graph.num_edges // 32, 2**30)))
+    edges_i32 = jnp.int32(min(graph.num_edges, 2**31 - 1))
+
     def make_back(cap: int):
-        def step(args):
+        def bstep(args):
             delta, t = args
             start = offsets[t]
             n = offsets[t + 1] - start
-            frontier = jax.lax.dynamic_slice(order_padded, (start,), (fcap,))
+            frontier = jax.lax.dynamic_slice(order_padded, (start,),
+                                             (fcap,))
             ex = expand(graph, frontier, n, cap)
             down = ex.mask & (labels[ex.dst] == t + 1)
             sig_dst = jnp.where(down, sigma[ex.dst], 1.0)
@@ -170,23 +203,14 @@ def _bc_loop(graph: DeviceGraph, src: jax.Array, *, fcap: int,
                             0.0)
             delta = scatter_add(delta, ex.src, add, mask=down)
             return delta, ex.total
-        return step
+        return bstep
 
     def _bwd_pull(args):
-        from ..ops.pallas_kernels import pull_vertex_reduce
         delta, t = args
-        contrib = jnp.where(labels == t + 1,
-                            (1.0 + delta) / jnp.maximum(sigma, 1e-30), 0.0)
-        acc = pull_vertex_reduce(contrib, graph, op="sum", wmode="none",
-                                 interpret=interpret)
-        delta = jnp.where(labels == t, sigma * acc, delta)
-        return delta, edges_i32
+        return _bwd_level_pull(graph, labels, sigma, delta, t,
+                               interpret), edges_i32
 
-    def bcond(args):
-        delta, t = args
-        return t >= 0
-
-    def bbody(args):
+    def step(args):
         delta, t = args
         start = offsets[t]
         n = offsets[t + 1] - start
@@ -195,40 +219,123 @@ def _bc_loop(graph: DeviceGraph, src: jax.Array, *, fcap: int,
         if pallas:
             delta, _ = jax.lax.cond(
                 m_f > pull_threshold, _bwd_pull,
-                lambda a: dispatch_by_size(m_f, caps, make_back, a),
-                (delta, t))
+                lambda a: dispatch_by_size(m_f, caps, make_back, a), args)
         else:
-            delta, _ = dispatch_by_size(m_f, caps, make_back, (delta, t))
+            delta, _ = dispatch_by_size(m_f, caps, make_back, args)
         return delta, t - 1
+    return step
 
-    delta0 = jnp.zeros((v_pad,), jnp.float32)
-    delta, _ = jax.lax.while_loop(bcond, bbody, (delta0, max_depth - 1))
+
+def _bc_loop(graph: DeviceGraph, src: jax.Array, *, fcap: int,
+             caps: tuple[int, ...], pallas: bool = False,
+             interpret: bool = False):
+    """Single-call hybrid Brandes — used by the CPU path, the replicated
+    batch execution (``parallel/replicate.bc_batch`` runs it inside
+    shard_map), and tests. The TPU path chunk-enacts the SAME step
+    makers from the host (``_bc_hybrid``) to stay under device execution
+    limits on deep graphs."""
+    v_pad = graph.v_pad
+    fstep = _make_fwd_step(graph, fcap, caps, pallas, interpret)
+
+    def fcond(state: _FwdState):
+        return (state.n > 0) & (~state.stats.overflow)
+
+    fstate = jax.lax.while_loop(fcond, fstep, _fwd_init(graph, src, fcap))
+    labels, sigma = fstate.labels, fstate.sigma
+    max_depth = fstate.stats.iteration  # >= deepest label
+
+    order_padded, offsets = _level_replay(labels, v_pad, fcap)
+    bstep = _make_bwd_step(graph, labels, sigma, order_padded, offsets,
+                           fcap, caps, pallas, interpret)
+
+    def bcond(args):
+        return args[1] >= 0
+
+    delta, _ = jax.lax.while_loop(
+        bcond, bstep, (jnp.zeros((v_pad,), jnp.float32), max_depth - 1))
     bc_vals = jnp.where(jnp.arange(v_pad) == src, 0.0, delta)
     return bc_vals, sigma, labels, fstate.stats
 
 
-_bc_jit = jax.jit(_bc_loop, static_argnames=("fcap", "caps", "pallas", "interpret"))
+_bc_jit = jax.jit(_bc_loop,
+                  static_argnames=("fcap", "caps", "pallas", "interpret"))
+
+
+@partial(jax.jit, static_argnames=("fcap", "caps", "pallas", "interpret"))
+def _bc_fwd_jit(graph: DeviceGraph, state: _FwdState, upto, *, fcap: int,
+                caps, pallas: bool, interpret: bool = False):
+    fstep = _make_fwd_step(graph, fcap, caps, pallas, interpret)
+
+    def fcond(st: _FwdState):
+        return (st.n > 0) & (~st.stats.overflow) & \
+               (st.stats.iteration < upto)
+
+    st = jax.lax.while_loop(fcond, fstep, state)
+    probe = jnp.stack([st.stats.iteration,
+                       st.stats.overflow.astype(jnp.int32), st.n])
+    return st, probe
+
+
+@partial(jax.jit, static_argnames=("fcap",))
+def _bc_mid_jit(labels, *, fcap: int):
+    return _level_replay(labels, labels.shape[0], fcap)
+
+
+@partial(jax.jit, static_argnames=("fcap", "caps", "pallas", "interpret"))
+def _bc_bwd_jit(graph: DeviceGraph, labels, sigma, order_padded, offsets,
+                delta, t_hi, t_lo, *, fcap: int, caps, pallas: bool,
+                interpret: bool = False):
+    bstep = _make_bwd_step(graph, labels, sigma, order_padded, offsets,
+                           fcap, caps, pallas, interpret)
+
+    def bcond(args):
+        return args[1] >= t_lo
+
+    delta, _ = jax.lax.while_loop(bcond, bstep, (delta, t_hi))
+    return delta
+
+
+def _bc_hybrid(graph: DeviceGraph, src: int, fcap: int, caps):
+    """Host-chunked hybrid enactment (TPU): bounded level counts per
+    device call — a deep graph's ~thousands of sequential levels would
+    otherwise exceed the serving path's execution limits (the same
+    chunking discipline as bfs_device/sssp_device)."""
+    chunk = max(8, min(512, (1 << 27) // max(graph.e_pad, 1) * 8))
+    st = _fwd_init(graph, jnp.int32(src), fcap)
+    upto = chunk
+    while True:
+        st, probe = _bc_fwd_jit(graph, st, jnp.int32(upto), fcap=fcap,
+                                caps=caps, pallas=True)
+        it, ovf, n = (int(x) for x in np.asarray(probe))
+        if ovf or n == 0 or it < upto:
+            break
+        upto = it + chunk
+    labels, sigma = st.labels, st.sigma
+    max_depth = int(st.stats.iteration)
+    order_padded, offsets = _bc_mid_jit(labels, fcap=fcap)
+    delta = jnp.zeros((graph.v_pad,), jnp.float32)
+    hi = max_depth - 1
+    while hi >= 0:
+        lo = max(0, hi - chunk + 1)
+        delta = _bc_bwd_jit(graph, labels, sigma, order_padded, offsets,
+                            delta, jnp.int32(hi), jnp.int32(lo),
+                            fcap=fcap, caps=caps, pallas=True)
+        hi = lo - 1
+    bc_vals = jnp.where(jnp.arange(graph.v_pad) == src, 0.0, delta)
+    return bc_vals, sigma, labels, st.stats
 
 
 # ---------------------------------------------------------------------------
-# Pull-mode BC (undirected graphs with blocked value tables): each level of
-# both phases is ONE blocked value-kernel pass — sigma[v] = sum of sigma
-# over in-neighbors one level up; delta[u] = sigma[u] * sum over neighbors
-# one level down of (1+delta)/sigma. Host-chunked to stay under device
-# execution limits (and matching the reference's enactor-driven phases).
+# All-pull BC (instrumented runs): every level of both phases is ONE
+# blocked value-kernel pass, one device call per record — per-level
+# wall-clock records match the reference's --instrumented kernel stats.
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("chunk",))
 def _bc_pull_fwd_chunk(graph: DeviceGraph, labels, sigma, d0, *, chunk: int):
-    from ..ops.pallas_kernels import pull_vertex_reduce
-
     def body(carry):
         labels, sigma, d, _ = carry
-        contrib = jnp.where(labels == d - 1, sigma, 0.0)
-        s = pull_vertex_reduce(contrib, graph, op="sum", wmode="none")
-        new = (labels == -1) & (s > 0)
-        labels = jnp.where(new, d, labels)
-        sigma = jnp.where(new, s, sigma)
+        labels, sigma, new = _fwd_level_pull(graph, labels, sigma, d)
         return labels, sigma, d + 1, jnp.sum(new.astype(jnp.int32))
 
     def cond(carry):
@@ -242,15 +349,9 @@ def _bc_pull_fwd_chunk(graph: DeviceGraph, labels, sigma, d0, *, chunk: int):
 @partial(jax.jit, static_argnames=("chunk",))
 def _bc_pull_bwd_chunk(graph: DeviceGraph, labels, sigma, delta, d_hi,
                        d_lo, *, chunk: int):
-    from ..ops.pallas_kernels import pull_vertex_reduce
-
     def body(carry):
         delta, d = carry
-        contrib = jnp.where(labels == d + 1,
-                            (1.0 + delta) / jnp.maximum(sigma, 1e-30), 0.0)
-        acc = pull_vertex_reduce(contrib, graph, op="sum", wmode="none")
-        delta = jnp.where(labels == d, sigma * acc, delta)
-        return delta, d - 1
+        return _bwd_level_pull(graph, labels, sigma, delta, d), d - 1
 
     def cond(carry):
         delta, d = carry
@@ -321,8 +422,9 @@ def bc_device(graph: DeviceGraph, src, *, queue_sizing: float = 1.0,
     fcap = max(128, int(graph.v_pad * min(queue_sizing, 1.0)))
     out_cap = max(128, int(graph.e_pad * min(queue_sizing, 1.0)))
     caps = tuple(capacity_ladder(out_cap))
-    return _bc_jit(graph, jnp.int32(src), fcap=fcap, caps=caps,
-                   pallas=use_pallas)
+    if use_pallas:
+        return _bc_hybrid(graph, int(src), fcap, caps)
+    return _bc_jit(graph, jnp.int32(src), fcap=fcap, caps=caps)
 
 
 def bc(graph: Union[CsrGraph, DeviceGraph],

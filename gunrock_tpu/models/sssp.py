@@ -102,6 +102,59 @@ def _laddered_mf(graph: DeviceGraph, frontier: jax.Array, n: jax.Array,
     return dispatch_by_size(jnp.maximum(n, 1), ncaps, mk, None)
 
 
+def _relax_payload(graph: DeviceGraph, dist, ex, use_pallas: bool):
+    """Gather the expand payloads (dst vertex, weight, source distance)
+    — fused Pallas samplers on TPU, XLA sorted takes elsewhere."""
+    if use_pallas:
+        from ..ops.pallas_kernels import sample_sorted, sample_sorted2
+        dst, w = sample_sorted2(graph.col_indices, graph.edge_values,
+                                ex.eid)
+        dsrc = sample_sorted(dist, ex.src)
+    else:
+        dst = jnp.take(graph.col_indices, ex.eid, indices_are_sorted=True)
+        w = jnp.take(graph.edge_values, ex.eid, indices_are_sorted=True)
+        dsrc = jnp.take(dist, ex.src, indices_are_sorted=True)
+    return dst, w, dsrc
+
+
+def _winner_minimize(dist, dst, cand, mask, v_pad: int):
+    """Deterministic scatter-min: sort lanes by (dst, cand) — the head
+    of each dst run carries its min; winners strictly improve ``dist``.
+    Replaces the reference's atomicMin race (sssp_functor.cuh:59-99);
+    the exact produced sums are what make ``_fill_preds``' float-equality
+    parent recovery valid, so every relax path (general rungs and the
+    deep micro-loop) MUST route through this one helper. Returns
+    ``(dist', sorted_dst, win_mask)``; winners are sorted by
+    construction."""
+    cand = jnp.where(mask, cand, INF)
+    dstm = jnp.where(mask, dst, v_pad - 1)
+    sd, sc = jax.lax.sort((dstm, cand), num_keys=2)
+    head = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                            sd[1:] != sd[:-1]])
+    d_old = jnp.take(dist, sd, indices_are_sorted=True)
+    win = head & (sc < d_old)
+    return scatter_set(dist, sd, sc, mask=win), sd, win
+
+
+def _bisect(dist, delta, level, near, active):
+    """Near-far threshold advance (priority_queue Bisect,
+    ``near_far_pile.cuh:35-60``): while the near bucket is empty and the
+    pile is not, raise the threshold by ``delta`` and re-split. Identity
+    when ``near`` already has work. Shared by the general near-far
+    branch and the deep micro-loop's refill."""
+    def body(a):
+        lvl, _, act = a
+        lvl = lvl + delta
+        nr = act & (dist < lvl)
+        return lvl, nr, act & ~nr
+
+    def cond(a):
+        _, nr, act = a
+        return (~jnp.any(nr)) & jnp.any(act)
+
+    return jax.lax.while_loop(cond, body, (level, near, active))
+
+
 def _relax(graph: DeviceGraph, state: _State, cap: int, fcap: int,
            use_pallas: bool):
     """One push relaxation round over the frontier queue — every
@@ -125,24 +178,9 @@ def _relax(graph: DeviceGraph, state: _State, cap: int, fcap: int,
     n0 = jnp.minimum(state.n, in_cap)
     ex = expand(graph, frontier, n0, cap, sorted_frontier=True,
                 with_dst=False)
-    if use_pallas:
-        from ..ops.pallas_kernels import sample_sorted, sample_sorted2
-        dst, w = sample_sorted2(graph.col_indices, graph.edge_values,
-                                ex.eid)
-        dsrc = sample_sorted(state.dist, ex.src)
-    else:
-        dst = jnp.take(graph.col_indices, ex.eid, indices_are_sorted=True)
-        w = jnp.take(graph.edge_values, ex.eid, indices_are_sorted=True)
-        dsrc = jnp.take(state.dist, ex.src, indices_are_sorted=True)
-    cand = jnp.where(ex.mask, dsrc + w, INF)
-    dst = jnp.where(ex.mask, dst, graph.v_pad - 1)
-    # Sort by (dst, cand): the head of each dst run carries its min.
-    sd, sc = jax.lax.sort((dst, cand), num_keys=2)
-    head = jnp.concatenate([jnp.ones((1,), jnp.bool_),
-                            sd[1:] != sd[:-1]])
-    d_old = jnp.take(state.dist, sd, indices_are_sorted=True)
-    win = head & (sc < d_old)
-    dist = scatter_set(state.dist, sd, sc, mask=win)
+    dst, w, dsrc = _relax_payload(graph, state.dist, ex, use_pallas)
+    dist, sd, win = _winner_minimize(state.dist, dst, dsrc + w, ex.mask,
+                                     graph.v_pad)
     # Winners are sorted by construction -> next queue needs no re-sort.
     nf, n_next = compact(sd, win, fcap, fill=graph.v_pad - 1)
     m_next = _i32(_laddered_mf(graph, nf, n_next, fcap))
@@ -228,17 +266,9 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
         nq, nn = compact(q, near, C, fill=graph.v_pad - 1)
         ex = expand(graph, nq, _i32(nn), C, sorted_frontier=True,
                     with_dst=False)
-        dst = jnp.take(graph.col_indices, ex.eid, indices_are_sorted=True)
-        w = jnp.take(graph.edge_values, ex.eid, indices_are_sorted=True)
-        dsrc = jnp.take(st.dist, ex.src, indices_are_sorted=True)
-        cand = jnp.where(ex.mask, dsrc + w, INF)
-        dstm = jnp.where(ex.mask, dst, graph.v_pad - 1)
-        sd, sc = jax.lax.sort((dstm, cand), num_keys=2)
-        head = jnp.concatenate([jnp.ones((1,), jnp.bool_),
-                                sd[1:] != sd[:-1]])
-        d_old = jnp.take(st.dist, sd, indices_are_sorted=True)
-        win = head & (sc < d_old)
-        dist = scatter_set(st.dist, sd, sc, mask=win)
+        dst, w, dsrc = _relax_payload(graph, st.dist, ex, False)
+        dist, sd, win = _winner_minimize(st.dist, dst, dsrc + w, ex.mask,
+                                         graph.v_pad)
 
         # New queue = (queued \ relaxed-near) | winners: 2C sort-dedup.
         merged = jax.lax.sort(jnp.concatenate(
@@ -271,20 +301,9 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
 
         def refill(st: _State):
             dist = st.dist
-
-            def body(a):
-                lvl, nr, act = a
-                lvl = lvl + delta
-                nr2 = act & (dist < lvl)
-                return lvl, nr2, act & ~nr2
-
-            def cond(a):
-                _, nr, act = a
-                return (~jnp.any(nr)) & jnp.any(act)
-
-            level, near, active = jax.lax.while_loop(
-                cond, body,
-                (st.level, jnp.zeros_like(st.active), st.active))
+            level, near, active = _bisect(
+                dist, delta, st.level, jnp.zeros_like(st.active),
+                st.active)
             nq, n = frontier_from_mask(near, fcap)
             nq = jnp.where(lane_f < n, nq, graph.v_pad - 1)
             deg = graph.row_offsets[1:] - graph.row_offsets[:-1]
@@ -334,21 +353,8 @@ def _make_nearfar_branch(graph, fcap, delta, use_pallas):
 
             # Bucket empty -> advance the threshold until work appears
             # or the pile drains (dense vertex-scale ops only).
-            def advance(args):
-                lvl, near, active = args
-                def body(a):
-                    lvl, near, act = a
-                    lvl = lvl + delta
-                    nr = act & (dist < lvl)
-                    return lvl, nr, act & ~nr
-                def cond(a):
-                    lvl, nr, act = a
-                    return (~jnp.any(nr)) & jnp.any(act)
-                return jax.lax.while_loop(cond, body, args)
-
-            level, near, active = jax.lax.cond(
-                jnp.any(near), lambda a: a, advance,
-                (state.level, near, active))
+            level, near, active = _bisect(dist, delta, state.level, near,
+                                          active)
             nq, n = frontier_from_mask(near, fcap)
             nq = jnp.where(jnp.arange(fcap, dtype=jnp.int32) < n, nq,
                            graph.v_pad - 1)

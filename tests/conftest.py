@@ -84,8 +84,8 @@ def road_like():
 @pytest.fixture(scope="session")
 def road_big():
     """Grid large enough that the deep-regime micro-loops engage
-    (BFS needs fcap=v_pad//4 >= models.bfs.DEEP_CAP, SSSP needs
-    fcap >= 2*models.sssp.DEEP_CAP)."""
+    (non-DO BFS: fcap >= models.bfs.DEEP_CAP; SSSP:
+    fcap >= 2*models.sssp.DEEP_CAP, with fcap ~ v_pad*queue_sizing)."""
     n = 192
     idx = np.arange(n * n).reshape(n, n)
     src = np.concatenate([idx[:, :-1].ravel(), idx[:-1, :].ravel()])

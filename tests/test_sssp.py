@@ -76,9 +76,12 @@ def test_sssp_deep_micro_queue(road_big):
     """Grid big enough that the near-far micro-queue engages
     (models/sssp.py _make_deep_loop): rung-scale rounds relax only the
     sub-threshold subset with a sort-dedup queue merge. Validates both
-    modes against Dijkstra."""
-    road_big.random_edge_values(seed=11)
-    want = cpu_sssp(road_big, 0)
+    modes against Dijkstra. Copies the session fixture before weighting
+    it so other tests never see the mutated edge values."""
+    import dataclasses as _dc
+    g = _dc.replace(road_big)
+    g.random_edge_values(seed=11)
+    want = cpu_sssp(g, 0)
     for mode in ("bellman", "nearfar"):
-        r = sssp(road_big, src=0, mode=mode)
+        r = sssp(g, src=0, mode=mode)
         np.testing.assert_allclose(r.distances, want, rtol=1e-5)

@@ -17,15 +17,9 @@ import numpy as np
 
 __all__ = ["bfs_c", "bc_c", "cc_c", "sssp_c", "pagerank_c"]
 
-# Honor the embedding process's JAX_PLATFORMS intent (the reference
-# drivers' --device analogue) even when a sitecustomize re-registers an
-# accelerator backend after env parsing.
-if os.environ.get("JAX_PLATFORMS"):
-    try:
-        import jax
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    except Exception:
-        pass
+from .utils import honor_jax_platforms
+
+honor_jax_platforms()
 
 
 def _view(addr: int, n: int, dtype):

@@ -347,16 +347,8 @@ _RUNNERS = {
 
 
 def main(argv=None) -> int:
-    # A sitecustomize may force jax_platforms to an accelerator AFTER
-    # env parsing; restore the caller's JAX_PLATFORMS intent (the
-    # reference drivers' --device analogue) before any backend init.
-    import os
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            import jax
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    from .utils import honor_jax_platforms
+    honor_jax_platforms()
     args = build_parser().parse_args(argv)
     rng = np.random.default_rng(args.seed)
     g = load_graph_from_args(args)

@@ -71,6 +71,22 @@ def record_iteration(stats: LoopStats, *, frontier_len: jax.Array,
     )
 
 
+def frontier_ladder(cap: int, *, base: int = 4096,
+                    step: int = 8) -> list[int]:
+    """Input-side (frontier-width) rung ladder: the smallest rung >= n
+    bounds the frontier-scale scatters/gathers of a round. Shared by the
+    advance front-end (``ops/advance._expand_csr``) and the SSSP queue
+    degree-sum (``models/sssp._laddered_mf``) so the two paths can never
+    diverge on base/step tuning."""
+    ncaps: list[int] = []
+    c = base
+    while c < cap:
+        ncaps.append(c)
+        c *= step
+    ncaps.append(cap)
+    return ncaps
+
+
 def capacity_ladder(max_cap: int, *, base: int = 4096,
                     step: int = 8) -> list[int]:
     """Geometric ladder of advance-output capacities up to ``max_cap``.

@@ -295,18 +295,30 @@ def _bc_bwd_jit(graph: DeviceGraph, labels, sigma, order_padded, offsets,
     return delta
 
 
-def _bc_hybrid(graph: DeviceGraph, src: int, fcap: int, caps):
-    """Host-chunked hybrid enactment (TPU): bounded level counts per
-    device call — a deep graph's ~thousands of sequential levels would
-    otherwise exceed the serving path's execution limits (the same
-    chunking discipline as bfs_device/sssp_device)."""
+def _bc_hybrid(graph: DeviceGraph, src: int, fcap: int, caps,
+               pallas: bool = True, instrument=None):
+    """Host-chunked enactment: bounded level counts per device call — a
+    deep graph's ~thousands of sequential levels would otherwise exceed
+    the serving path's execution limits (the same chunking discipline as
+    bfs_device/sssp_device). With ``instrument`` set, enacts one level
+    per call and records per-level wall clocks for both phases (works on
+    every backend, unlike the all-pull _bc_pull records)."""
+    import time as _time
     chunk = max(8, min(512, (1 << 27) // max(graph.e_pad, 1) * 8))
+    if instrument is not None:
+        chunk = 1
     st = _fwd_init(graph, jnp.int32(src), fcap)
     upto = chunk
+    t0 = _time.perf_counter()
     while True:
         st, probe = _bc_fwd_jit(graph, st, jnp.int32(upto), fcap=fcap,
-                                caps=caps, pallas=True)
+                                caps=caps, pallas=pallas)
         it, ovf, n = (int(x) for x in np.asarray(probe))
+        if instrument is not None:
+            t1 = _time.perf_counter()
+            instrument.append({"phase": "forward", "level": it,
+                               "ms": (t1 - t0) * 1e3, "frontier": n})
+            t0 = t1
         if ovf or n == 0 or it < upto:
             break
         upto = it + chunk
@@ -315,11 +327,18 @@ def _bc_hybrid(graph: DeviceGraph, src: int, fcap: int, caps):
     order_padded, offsets = _bc_mid_jit(labels, fcap=fcap)
     delta = jnp.zeros((graph.v_pad,), jnp.float32)
     hi = max_depth - 1
+    t0 = _time.perf_counter()
     while hi >= 0:
         lo = max(0, hi - chunk + 1)
-        delta = _bc_bwd_jit(graph, labels, sigma, order_padded, offsets,
-                            delta, jnp.int32(hi), jnp.int32(lo),
-                            fcap=fcap, caps=caps, pallas=True)
+        delta = jax.block_until_ready(_bc_bwd_jit(
+            graph, labels, sigma, order_padded, offsets,
+            delta, jnp.int32(hi), jnp.int32(lo),
+            fcap=fcap, caps=caps, pallas=pallas))
+        if instrument is not None:
+            t1 = _time.perf_counter()
+            instrument.append({"phase": "backward", "level": hi,
+                               "ms": (t1 - t0) * 1e3})
+            t0 = t1
         hi = lo - 1
     bc_vals = jnp.where(jnp.arange(graph.v_pad) == src, 0.0, delta)
     return bc_vals, sigma, labels, st.stats
@@ -417,13 +436,18 @@ def bc_device(graph: DeviceGraph, src, *, queue_sizing: float = 1.0,
     use_pallas = (jax.default_backend() == "tpu" and
                   graph.has_blocked_values)
     if use_pallas and instrument is not None:
-        # Per-level wall-clock records need one device call per level.
+        # Per-level wall-clock records, one device call per level
+        # (reference --instrumented kernel stats via the all-pull path).
         return _bc_pull(graph, int(src), instrument=instrument)
     fcap = max(128, int(graph.v_pad * min(queue_sizing, 1.0)))
     out_cap = max(128, int(graph.e_pad * min(queue_sizing, 1.0)))
     caps = tuple(capacity_ladder(out_cap))
-    if use_pallas:
-        return _bc_hybrid(graph, int(src), fcap, caps)
+    if use_pallas or instrument is not None:
+        # Chunked enactment: hybrid dispatch on TPU; on other backends
+        # it also carries --instrumented per-level records (previously a
+        # silent no-op off-TPU).
+        return _bc_hybrid(graph, int(src), fcap, caps, pallas=use_pallas,
+                          instrument=instrument)
     return _bc_jit(graph, jnp.int32(src), fcap=fcap, caps=caps)
 
 

@@ -293,16 +293,27 @@ def cc_device(graph: DeviceGraph, *, instrument: Optional[list] = None):
 
 
 def _is_symmetric(graph: CsrGraph) -> bool:
-    """Probabilistic exact symmetry check: keyed-mix multiset hash of
-    (src, dst) vs (dst, src), O(E) vectorized. Collisions are ~2^-64."""
+    """Probabilistic exact symmetry check: multiset hash of per-edge
+    NONLINEAR mixes of (src, dst) vs (dst, src), O(E) vectorized. The
+    mix (splitmix64-style finalizer) is essential — a linear keyed sum
+    collapses to comparing sum(src) vs sum(dst), a systematic collision
+    class any sum-balanced asymmetric graph falls into. Residual
+    collision odds ~2^-64."""
     if graph.undirected or graph.num_edges == 0:
         return True
+
+    def mix(x: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer, vectorized (public-domain constants).
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
     a = graph.edge_sources().astype(np.uint64)
     b = graph.col_indices.astype(np.uint64)
-    k1, k2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
     with np.errstate(over="ignore"):
-        fwd = int((a * k1 + b * k2).sum(dtype=np.uint64))
-        rev = int((b * k1 + a * k2).sum(dtype=np.uint64))
+        fwd = int(mix(a << np.uint64(32) | b).sum(dtype=np.uint64))
+        rev = int(mix(b << np.uint64(32) | a).sum(dtype=np.uint64))
     return fwd == rev
 
 

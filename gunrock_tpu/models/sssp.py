@@ -79,12 +79,8 @@ def _laddered_mf(graph: DeviceGraph, frontier: jax.Array, n: jax.Array,
     """Degree sum of the first ``n`` queue lanes, gathering only the
     smallest ladder rung >= n (a full-fcap gather would put an
     fcap-scale sorted gather in every round)."""
-    ncaps = []
-    c = 4096
-    while c < fcap:
-        ncaps.append(c)
-        c *= 8
-    ncaps.append(fcap)
+    from ..enactor import frontier_ladder
+    ncaps = frontier_ladder(fcap)
 
     def mk(ncap):
         def f(_):

@@ -132,12 +132,8 @@ def _expand_csr(row_offsets: jax.Array, col_indices: jax.Array,
                 with_dst: bool = True) -> ExpandedEdges:
     cin = frontier.shape[0]
     # Frontier-side ladder: scatters run at the smallest rung >= n.
-    ncaps = []
-    c = 4096
-    while c < cin:
-        ncaps.append(c)
-        c *= 8
-    ncaps.append(cin)
+    from ..enactor import frontier_ladder
+    ncaps = frontier_ladder(cin)
 
     if len(ncaps) == 1:
         markers, odeltas, sdeltas, total = _expand_markers(
@@ -159,18 +155,22 @@ def _expand_csr(row_offsets: jax.Array, col_indices: jax.Array,
     j = jnp.arange(out_cap, dtype=jnp.int32)
     eid = j + jnp.cumsum(odeltas)
     mask = (j < total) & (rank >= 0)
+    # In sorted mode the returned eid stream must stay NONDECREASING
+    # across masked lanes: the Pallas samplers (sample_sorted*) walk the
+    # stream by chunk windows keyed on each tile's last position, and
+    # XLA's indices_are_sorted fast path assumes it too — a zeroed tail
+    # makes every lane in the valid/masked boundary tile read garbage.
+    # Pin masked lanes to the LAST edge instead (consumers predicate on
+    # ``mask``).
+    tail = jnp.int32(col_indices.shape[0] - 1 if sorted_frontier else 0)
     if not with_dst:
-        eid_c = jnp.where(mask, eid, 0)
+        eid_c = jnp.where(mask, eid, tail)
         dst = jnp.zeros_like(eid_c)
     elif sorted_frontier:
-        # Sorted frontier => eids ascend monotonically across lanes
-        # (inactive tail pinned to the last edge keeps the order), so the
-        # big edge gather takes the sorted fast path.
-        eid_c = jnp.where(mask, eid, col_indices.shape[0] - 1)
+        eid_c = jnp.where(mask, eid, tail)
         dst = jnp.where(mask,
                         jnp.take(col_indices, eid_c,
                                  indices_are_sorted=True), 0)
-        eid_c = jnp.where(mask, eid_c, 0)
     else:
         eid_c = jnp.where(mask, eid, 0)
         dst = jnp.where(mask, col_indices[eid_c], 0)

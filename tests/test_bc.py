@@ -64,3 +64,15 @@ def test_bc_hybrid_pull_levels(rmat_small):
     got = np.asarray(out[0])[: rmat_small.num_nodes] * 0.5
     np.testing.assert_allclose(got, cpu_bc(rmat_small, src=0),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_bc_instrumented_records_on_push_path(rmat_small):
+    """--instrumented must produce per-level records on every backend
+    (previously a silent no-op off-TPU — round-3 review finding)."""
+    res = bc(rmat_small, src=0, instrumented=True)
+    recs = res.info["per_iteration"]
+    assert recs, "no per-level records"
+    phases = {r["phase"] for r in recs}
+    assert phases == {"forward", "backward"}
+    np.testing.assert_allclose(res.bc_values, cpu_bc(rmat_small, src=0),
+                               rtol=1e-3, atol=1e-4)

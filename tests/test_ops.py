@@ -141,3 +141,21 @@ def test_expand_zero_outdegree_frontier_vertex():
     np.testing.assert_array_equal(np.asarray(ex.src)[:3], [0, 0, 2])
     np.testing.assert_array_equal(np.asarray(ex.dst)[:3], [3, 4, 5])
     np.testing.assert_array_equal(np.asarray(ex.eid)[:3], [0, 1, 2])
+
+
+def test_expand_sorted_eid_monotone():
+    """Sorted-mode expand must return a NONDECREASING eid stream across
+    masked lanes (tail pinned to the last edge): the Pallas samplers walk
+    the stream by chunk windows and a zeroed tail makes every valid lane
+    in the boundary tile read garbage (round-3 review finding)."""
+    import jax.numpy as jnp
+    from gunrock_tpu.ops.advance import expand
+    g = gt.io.rmat(scale=9, edge_factor=4, seed=3, undirected=True)
+    dg = gt.to_device(g)
+    fr = jnp.sort(jnp.array([3, 17, 200, 450] + [dg.v_pad - 1] * 60,
+                            jnp.int32))
+    for with_dst in (False, True):
+        ex = expand(dg, fr, jnp.int32(4), 4096, sorted_frontier=True,
+                    with_dst=with_dst)
+        e = np.asarray(ex.eid).astype(np.int64)
+        assert (np.diff(e) >= 0).all()

@@ -67,3 +67,18 @@ def test_cc_log_rounds(road_like):
     res = cc(road_like)
     assert res.num_components == 1
     assert res.info["num_iterations"] <= 12
+
+
+def test_cc_sum_balanced_asymmetric_graph():
+    """_is_symmetric must not be fooled by sum-balanced asymmetric edge
+    sets (a linear multiset hash collapses to comparing sum(src) with
+    sum(dst)); directed input must be symmetrized so CC returns weak
+    components (round-3 review finding)."""
+    from gunrock_tpu.models.cc import _is_symmetric
+    n = 5002
+    src = [0] * 4999 + list(range(1, 5000)) + [10, 5001]
+    dst = list(range(1, 5000)) + [0] * 4999 + [5000, 11]
+    g = gt.from_coo(n, src, dst, undirected=False, dedup=False)
+    assert not _is_symmetric(g)
+    res = cc(g)
+    assert res.num_components == len(set(cpu_cc(g).tolist()))

@@ -108,6 +108,10 @@ def intersect_counts(row_offsets: jax.Array, col_indices: jax.Array,
     w = jnp.where(mask, w, v_pad)
 
     # ---- sort-join: edges (tag 0) ++ wedges (tag 1) by (u, w, tag)
+    # The pre-sorted edge stream is re-sorted with every chunk's wedges;
+    # with the 2**26 wedge budget the edge share of the sort is <10% per
+    # chunk, so a two-stream merge isn't worth its complexity until
+    # many-chunk graphs dominate.
     ju = jnp.concatenate([edge_src.astype(jnp.int32), u])
     jw = jnp.concatenate([col_indices.astype(jnp.int32), w])
     jtag = jnp.concatenate([jnp.zeros((eg_pad,), jnp.int32),

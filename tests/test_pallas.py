@@ -239,3 +239,24 @@ def test_bc_pull_matches_push(chesapeake):
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(bc_v), np.asarray(ref_bc),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sample_sorted_expand_tail_contract(rmat_small):
+    """End-to-end: the eid stream expand() hands to the sorted samplers
+    keeps its tail pinned to the last edge, and sample_sorted returns
+    correct values for the valid prefix (a zeroed tail made every valid
+    lane in the boundary tile read garbage — round-3 review finding)."""
+    import jax.numpy as jnp
+    import gunrock_tpu as gt
+    from gunrock_tpu.ops import pallas_kernels as pk
+    from gunrock_tpu.ops.advance import expand
+
+    dg = gt.to_device(rmat_small)
+    fr = jnp.sort(jnp.array([1, 5, 9, 100] + [dg.v_pad - 1] * 28,
+                            jnp.int32))
+    ex = expand(dg, fr, jnp.int32(4), 8192, sorted_frontier=True,
+                with_dst=False)
+    got = pk.sample_sorted(dg.col_indices, ex.eid, interpret=True)
+    want = np.asarray(dg.col_indices)[np.asarray(ex.eid)]
+    m = np.asarray(ex.mask)
+    np.testing.assert_array_equal(np.asarray(got)[m], want[m])

@@ -296,7 +296,8 @@ def _bc_bwd_jit(graph: DeviceGraph, labels, sigma, order_padded, offsets,
 
 
 def _bc_hybrid(graph: DeviceGraph, src: int, fcap: int, caps,
-               pallas: bool = True, instrument=None):
+               pallas: bool = True, instrument=None,
+               interpret: bool = False):
     """Host-chunked enactment: bounded level counts per device call — a
     deep graph's ~thousands of sequential levels would otherwise exceed
     the serving path's execution limits (the same chunking discipline as
@@ -312,7 +313,8 @@ def _bc_hybrid(graph: DeviceGraph, src: int, fcap: int, caps,
     t0 = _time.perf_counter()
     while True:
         st, probe = _bc_fwd_jit(graph, st, jnp.int32(upto), fcap=fcap,
-                                caps=caps, pallas=pallas)
+                                caps=caps, pallas=pallas,
+                                interpret=interpret)
         it, ovf, n = (int(x) for x in np.asarray(probe))
         if instrument is not None:
             t1 = _time.perf_counter()
@@ -333,7 +335,7 @@ def _bc_hybrid(graph: DeviceGraph, src: int, fcap: int, caps,
         delta = jax.block_until_ready(_bc_bwd_jit(
             graph, labels, sigma, order_padded, offsets,
             delta, jnp.int32(hi), jnp.int32(lo),
-            fcap=fcap, caps=caps, pallas=pallas))
+            fcap=fcap, caps=caps, pallas=pallas, interpret=interpret))
         if instrument is not None:
             t1 = _time.perf_counter()
             instrument.append({"phase": "backward", "level": hi,

@@ -76,3 +76,19 @@ def test_bc_instrumented_records_on_push_path(rmat_small):
     assert phases == {"forward", "backward"}
     np.testing.assert_allclose(res.bc_values, cpu_bc(rmat_small, src=0),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_bc_hybrid_chunked_enactment(rmat_small):
+    """The TPU bench path (_bc_hybrid: host-chunked forward chunks ->
+    argsort -> backward chunks, hybrid push/pull dispatch) must match
+    the oracle; exercised in pallas interpret mode on CPU."""
+    from gunrock_tpu.enactor import capacity_ladder
+    from gunrock_tpu.models.bc import _bc_hybrid
+    import jax
+    dg = gt.to_device(rmat_small, with_blocked_values=True)
+    out = jax.block_until_ready(
+        _bc_hybrid(dg, 0, dg.v_pad, tuple(capacity_ladder(dg.e_pad)),
+                   pallas=True, interpret=True))
+    got = np.asarray(out[0])[: rmat_small.num_nodes] * 0.5
+    np.testing.assert_allclose(got, cpu_bc(rmat_small, src=0),
+                               rtol=1e-3, atol=1e-4)

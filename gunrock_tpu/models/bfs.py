@@ -258,9 +258,10 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, mark_preds: bool,
 
     def micro_body(st: _State):
         depth = st.stats.iteration + 1
+        # The queue is sorted by invariant: entry frontiers are sorted
+        # once in run(), and each round's compact of the sorted key
+        # stream (tail pinned high) preserves order.
         fr = jax.lax.dynamic_slice(st.frontier, (0,), (C,))
-        fr = jnp.sort(jnp.where(lane < st.n, fr, jnp.int32(0x7FFFFFF0)))
-        fr = jnp.minimum(fr, graph.v_pad - 1)
         ex = expand(graph, fr, st.n, C, sorted_frontier=True,
                     with_src=mark_preds)
         is_new = ex.mask & (st.labels[ex.dst] == INVALID)
@@ -276,7 +277,7 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, mark_preds: bool,
         preds = st.preds
         if mark_preds:
             preds = scatter_set(preds, key_s, src_s, mask=keep)
-        newf, n_next = compact(key_s, keep, C)
+        newf, n_next = compact(key_s, keep, C, fill=graph.v_pad - 1)
         deg = jnp.take(graph.row_offsets, newf + 1) - \
             jnp.take(graph.row_offsets, newf)
         m_f_next = _i32(jnp.sum(jnp.where(lane < n_next, deg, 0)))
@@ -292,6 +293,15 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, mark_preds: bool,
         )
 
     def run(state: _State):
+        # Sort the entry frontier once per stretch (the general rungs
+        # hand over unsorted queues); every micro round keeps the queue
+        # sorted from there.
+        fr = jax.lax.dynamic_slice(state.frontier, (0,), (C,))
+        fr = jnp.sort(jnp.where(lane < state.n, fr,
+                                jnp.int32(0x7FFFFFF0)))
+        fr = jnp.minimum(fr, graph.v_pad - 1)
+        frontier = jax.lax.dynamic_update_slice(state.frontier, fr, (0,))
+        state = dataclasses.replace(state, frontier=frontier)
         return jax.lax.while_loop(micro_cond, micro_body, state)
     return run
 

@@ -251,6 +251,9 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, mark_preds: bool,
     ``oprtr/edge_map_partitioned/kernel.cuh:355``)."""
     C = DEEP_CAP
     lane = jnp.arange(C, dtype=jnp.int32)
+    # Loop-invariant (XLA's while-LICM hoists it out of the micro loop):
+    # one degree gather per round instead of two row_offsets gathers.
+    deg_arr = graph.row_offsets[1:] - graph.row_offsets[:-1]
 
     def micro_cond(st: _State):
         return (st.n > 0) & (st.m_f <= C) & (st.n <= C) & \
@@ -278,8 +281,7 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, mark_preds: bool,
         if mark_preds:
             preds = scatter_set(preds, key_s, src_s, mask=keep)
         newf, n_next = compact(key_s, keep, C, fill=graph.v_pad - 1)
-        deg = jnp.take(graph.row_offsets, newf + 1) - \
-            jnp.take(graph.row_offsets, newf)
+        deg = jnp.take(deg_arr, newf, indices_are_sorted=True)
         m_f_next = _i32(jnp.sum(jnp.where(lane < n_next, deg, 0)))
         frontier = jax.lax.dynamic_update_slice(st.frontier, newf, (0,))
         stats = record_iteration(st.stats, frontier_len=n_next,

@@ -21,3 +21,5 @@ run flagship "python bench.py"
 run table    "python bench_all.py"
 run deep     "BENCH_ONLY=deep python bench_all.py"
 run tc       "BENCH_ONLY=tc python bench_all.py"
+run sharded1 "python scripts/bench_sharded1.py"
+run profile  "python scripts/profile_deep_r3.py"

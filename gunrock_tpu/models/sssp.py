@@ -215,7 +215,8 @@ DEEP_CAP = 8192
 
 
 def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
-                    upto: jax.Array, upto_edges: jax.Array):
+                    upto: jax.Array, upto_edges: jax.Array,
+                    pallas: bool = False):
     """Deep-graph regime: many tiny relaxation rounds (road/grid
     diameters). Mirrors the BFS micro-loop (``models/bfs.py``) but keeps
     true near-far scheduling: the rung-scale QUEUE carries every vertex
@@ -265,7 +266,7 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
         nq, nn = compact(q, near, C, fill=graph.v_pad - 1)
         ex = expand(graph, nq, _i32(nn), C, sorted_frontier=True,
                     with_dst=False)
-        dst, w, dsrc = _relax_payload(graph, st.dist, ex, False)
+        dst, w, dsrc = _relax_payload(graph, st.dist, ex, pallas)
         dist, sd, win = _winner_minimize(st.dist, dst, dsrc + w, ex.mask,
                                          graph.v_pad)
 
@@ -386,7 +387,8 @@ def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
         branch = _make_nearfar_branch(graph, fcap, delta, pallas)
     else:
         branch = _make_bellman_branch(graph, fcap, pallas)
-    deep = (_make_deep_loop(graph, fcap, delta, mode, upto, upto_edges)
+    deep = (_make_deep_loop(graph, fcap, delta, mode, upto, upto_edges,
+                            pallas=pallas)
             if fcap >= 2 * DEEP_CAP else None)
 
     def cond(state: _State):

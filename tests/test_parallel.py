@@ -344,3 +344,23 @@ def test_sssp_sharded_nearfar_blocked_deep(road_like):
                        use_blocked=True, pallas_interpret=True)
     np.testing.assert_allclose(res.distances, cpu_sssp(road_like, 0),
                                rtol=1e-5)
+
+
+def test_hits_sharded_matches_single(rmat_small):
+    from gunrock_tpu.parallel.hits import hits_sharded
+    from gunrock_tpu.models.hits import hits
+    ref = hits(rmat_small, max_iters=10)
+    got = hits_sharded(rmat_small, num_shards=8, max_iters=10)
+    np.testing.assert_allclose(got.hubs, ref.hubs, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got.auths, ref.auths, rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_salsa_sharded_matches_single(rmat_small):
+    from gunrock_tpu.parallel.hits import salsa_sharded
+    from gunrock_tpu.models.salsa import salsa
+    ref = salsa(rmat_small, max_iters=10)
+    got = salsa_sharded(rmat_small, num_shards=8, max_iters=10)
+    np.testing.assert_allclose(got.hubs, ref.hubs, rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(got.auths, ref.auths, rtol=2e-4,
+                               atol=1e-7)

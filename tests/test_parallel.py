@@ -364,3 +364,18 @@ def test_salsa_sharded_matches_single(rmat_small):
     np.testing.assert_allclose(got.hubs, ref.hubs, rtol=2e-4, atol=1e-7)
     np.testing.assert_allclose(got.auths, ref.auths, rtol=2e-4,
                                atol=1e-7)
+
+
+def test_topk_sharded_matches_single(rmat_small):
+    from gunrock_tpu.parallel.topk import topk_sharded
+    from gunrock_tpu.models.topk import topk
+    ref = topk(rmat_small, k=16)
+    got = topk_sharded(rmat_small, k=16, num_shards=8)
+    # id order may differ among equal centralities; the multiset and the
+    # per-id values must match exactly.
+    np.testing.assert_array_equal(np.sort(got.centralities),
+                                  np.sort(ref.centralities))
+    deg = np.diff(rmat_small.row_offsets) + \
+        np.diff(rmat_small.csc().row_offsets)
+    for i, v in zip(got.node_ids, got.centralities):
+        assert deg[i] == v

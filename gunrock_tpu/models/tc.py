@@ -63,6 +63,57 @@ def _orient(g: CsrGraph) -> CsrGraph:
                     remove_self_loops=False, dedup=False)
 
 
+@dataclasses.dataclass
+class _TcPrep:
+    """Host-side oriented-DAG layout + wedge-budget chunking, shared by
+    the single-chip chunk loop and the chunk-parallel sharded TC
+    (``parallel/tc.py``)."""
+    dag: CsrGraph
+    row: np.ndarray          # (v_pad+1,) int32
+    col: np.ndarray          # (e_pad,) int32, pad lanes = v_pad
+    esrc_pad: np.ndarray     # (e_pad,) int32, pad lanes = v_pad
+    esrc_full: np.ndarray    # (num_edges,) int32
+    bounds: list             # chunk edge boundaries
+    chunk_e: int
+    wedge_cap: int
+    wedge_total: int
+    v_pad: int
+
+
+def _tc_prepare(g: CsrGraph, wedge_budget: int = 1 << 26) -> _TcPrep:
+    dag = _orient(g)
+    deg = np.diff(dag.row_offsets).astype(np.int64)
+    per_edge_wedges = deg[dag.col_indices]
+    wedge_total = int(per_edge_wedges.sum())
+    v_pad = round_up(max(dag.num_nodes, 1))
+    row = np.full(v_pad + 1, dag.num_edges, np.int32)
+    row[: dag.num_nodes + 1] = dag.row_offsets.astype(np.int32)
+    e_pad = round_up(max(dag.num_edges, 1))
+    col = np.full(e_pad, v_pad, np.int32)
+    col[: dag.num_edges] = dag.col_indices
+    esrc_full = dag.edge_sources().astype(np.int32)
+    # Global per-edge sources for the sort-join probe set; pad lanes
+    # pin to v_pad so they can never match a wedge.
+    esrc_pad = np.full(e_pad, v_pad, np.int32)
+    esrc_pad[: dag.num_edges] = esrc_full
+    # Chunk edges so each chunk's wedge count fits the budget.
+    wcum = np.concatenate([[0], np.cumsum(per_edge_wedges)])
+    bounds = [0]
+    while bounds[-1] < dag.num_edges:
+        nxt = int(np.searchsorted(
+            wcum, wcum[bounds[-1]] + wedge_budget, side="right")) - 1
+        bounds.append(min(max(nxt, bounds[-1] + 1), dag.num_edges))
+    chunk_e = round_up(max(max(b - a for a, b in
+                               zip(bounds, bounds[1:])), 1))
+    wedge_cap = round_up(int(max(
+        (wcum[b] - wcum[a] for a, b in zip(bounds, bounds[1:])),
+        default=1)) or 1)
+    return _TcPrep(dag=dag, row=row, col=col, esrc_pad=esrc_pad,
+                   esrc_full=esrc_full, bounds=bounds, chunk_e=chunk_e,
+                   wedge_cap=wedge_cap, wedge_total=wedge_total,
+                   v_pad=v_pad)
+
+
 def tc(graph: Union[CsrGraph], *, undirected_input: bool = True) -> TcResult:
     """Count triangles. Input must be a symmetric (undirected) graph —
     pass ``undirected_input=False`` to symmetrize a directed one first."""
@@ -72,36 +123,12 @@ def tc(graph: Union[CsrGraph], *, undirected_input: bool = True) -> TcResult:
         src = g.edge_sources()
         g = from_coo(g.num_nodes, src, g.col_indices, undirected=True)
 
-    WEDGE_BUDGET = 1 << 26   # wedges per device chunk (~0.3 GB peak)
-
     with timer.time("preprocess_ms"):
-        dag = _orient(g)
-        deg = np.diff(dag.row_offsets).astype(np.int64)
-        per_edge_wedges = deg[dag.col_indices]
-        wedge_total = int(per_edge_wedges.sum())
-        v_pad = round_up(max(dag.num_nodes, 1))
-        row = np.full(v_pad + 1, dag.num_edges, np.int32)
-        row[: dag.num_nodes + 1] = dag.row_offsets.astype(np.int32)
-        e_pad = round_up(max(dag.num_edges, 1))
-        col = np.full(e_pad, v_pad, np.int32)
-        col[: dag.num_edges] = dag.col_indices
-        esrc_full = dag.edge_sources().astype(np.int32)
-        # Global per-edge sources for the sort-join probe set; pad lanes
-        # pin to v_pad so they can never match a wedge.
-        esrc_pad = np.full(e_pad, v_pad, np.int32)
-        esrc_pad[: dag.num_edges] = esrc_full
-        # Chunk edges so each chunk's wedge count fits the budget.
-        wcum = np.concatenate([[0], np.cumsum(per_edge_wedges)])
-        bounds = [0]
-        while bounds[-1] < dag.num_edges:
-            nxt = int(np.searchsorted(
-                wcum, wcum[bounds[-1]] + WEDGE_BUDGET, side="right")) - 1
-            bounds.append(min(max(nxt, bounds[-1] + 1), dag.num_edges))
-        chunk_e = round_up(max(max(b - a for a, b in
-                                   zip(bounds, bounds[1:])), 1))
-        wedge_cap = round_up(int(max(
-            (wcum[b] - wcum[a] for a, b in zip(bounds, bounds[1:])),
-            default=1)) or 1)
+        prep = _tc_prepare(g)
+        dag, row, col = prep.dag, prep.row, prep.col
+        esrc_pad, esrc_full = prep.esrc_pad, prep.esrc_full
+        bounds, chunk_e = prep.bounds, prep.chunk_e
+        wedge_cap, wedge_total = prep.wedge_cap, prep.wedge_total
 
     with timer.time("process_ms"):
         rowj = jnp.asarray(row)

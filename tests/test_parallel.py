@@ -379,3 +379,12 @@ def test_topk_sharded_matches_single(rmat_small):
         np.diff(rmat_small.csc().row_offsets)
     for i, v in zip(got.node_ids, got.centralities):
         assert deg[i] == v
+
+
+def test_tc_sharded_matches_single(rmat_small):
+    from gunrock_tpu.parallel.tc import tc_sharded
+    from gunrock_tpu.models.tc import tc
+    ref = tc(rmat_small)
+    got = tc_sharded(rmat_small, num_shards=8)
+    assert got.total == ref.total
+    np.testing.assert_array_equal(got.vertex_counts, ref.vertex_counts)

@@ -298,8 +298,16 @@ def _run_salsa(args, g, src):
 
 
 def _run_wtf(args, g, src):
-    from .models import wtf
-    res = wtf(g, src, alpha=args.alpha, max_iters=args.max_iter)
+    if args.num_shards:
+        from .parallel.wtf import wtf_sharded
+        res = wtf_sharded(g, src, alpha=args.alpha,
+                          max_iters=args.max_iter,
+                          num_shards=args.num_shards,
+                          partition_method=args.partition_method,
+                          seed=args.partition_seed)
+    else:
+        from .models import wtf
+        res = wtf(g, src, alpha=args.alpha, max_iters=args.max_iter)
     ok = True
     if not args.quick:
         ref, ppr = oracle.cpu_wtf(g, src, alpha=args.alpha,

@@ -4,6 +4,7 @@ from .comm import bucket_by_owner, exchange, recv_mask  # noqa: F401
 from .bfs import bfs_sharded, bfs_sharded_device, ShardedBfsResult  # noqa: F401
 from .pr import pagerank_sharded, pagerank_sharded_device, ShardedPrResult  # noqa: F401
 from .hits import hits_sharded, salsa_sharded, ShardedLinkResult  # noqa: F401
+from .wtf import wtf_sharded, ShardedWtfResult  # noqa: F401
 from .topk import topk_sharded, ShardedTopkResult  # noqa: F401
 from .tc import tc_sharded, ShardedTcResult  # noqa: F401
 from .sssp import sssp_sharded, sssp_sharded_device, ShardedSsspResult  # noqa: F401

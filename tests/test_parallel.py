@@ -366,6 +366,28 @@ def test_salsa_sharded_matches_single(rmat_small):
                                atol=1e-7)
 
 
+def test_wtf_sharded_matches_single(rmat_small):
+    from gunrock_tpu.parallel.wtf import wtf_sharded
+    from gunrock_tpu.models.wtf import wtf
+    # threshold=0 pins phase-1 to exactly max_iters on both paths, so
+    # the comparison is iteration-for-iteration.
+    ref = wtf(rmat_small, src=3, max_iters=10, threshold=0.0)
+    got = wtf_sharded(rmat_small, src=3, max_iters=10, threshold=0.0,
+                      num_shards=8)
+    assert got.info["ppr_iterations"] == ref.info["ppr_iterations"]
+    np.testing.assert_allclose(got.ppr_ranks, ref.ppr_ranks, rtol=2e-4,
+                               atol=1e-7)
+    # The circle-of-trust tie-break (original id) matches single-chip
+    # lax.top_k, so per-vertex refscores agree to float tolerance.
+    got_scores = dict(zip(got.node_ids.tolist(), got.scores.tolist()))
+    for nid, score in zip(ref.node_ids[:50].tolist(),
+                          ref.scores[:50].tolist()):
+        assert nid in got_scores
+        np.testing.assert_allclose(got_scores[nid], score, rtol=2e-4,
+                                   atol=1e-7)
+    assert set(got.node_ids[:20].tolist()) == set(ref.node_ids[:20].tolist())
+
+
 def test_topk_sharded_matches_single(rmat_small):
     from gunrock_tpu.parallel.topk import topk_sharded
     from gunrock_tpu.models.topk import topk

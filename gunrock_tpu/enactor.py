@@ -77,14 +77,9 @@ def frontier_ladder(cap: int, *, base: int = 4096,
     bounds the frontier-scale scatters/gathers of a round. Shared by the
     advance front-end (``ops/advance._expand_csr``) and the SSSP queue
     degree-sum (``models/sssp._laddered_mf``) so the two paths can never
-    diverge on base/step tuning."""
-    ncaps: list[int] = []
-    c = base
-    while c < cap:
-        ncaps.append(c)
-        c *= step
-    ncaps.append(cap)
-    return ncaps
+    diverge on base/step tuning. Delegates to :func:`capacity_ladder` —
+    same rungs, input-side framing."""
+    return capacity_ladder(cap, base=base, step=step)
 
 
 def capacity_ladder(max_cap: int, *, base: int = 4096,

@@ -95,7 +95,7 @@ def _wtf_phase12(graph: DeviceGraph, src: jax.Array, max_iters: jax.Array,
 
 
 def _wtf_phase3(graph: DeviceGraph, src: jax.Array, cot: jax.Array,
-                ppr: jax.Array, *, alpha: float, cot_cap: int, cap: int):
+                *, alpha: float, cot_cap: int, cap: int):
     v_pad = graph.v_pad
     vmask = jnp.arange(v_pad, dtype=jnp.int32) < graph.num_nodes
     out_deg = (graph.row_offsets[1:] - graph.row_offsets[:-1]).astype(jnp.float32)
@@ -150,7 +150,7 @@ def wtf_device(graph: DeviceGraph, src, *, delta: float = 0.85,
     # switch branches can't return rung-sized edge lists.
     cd = int(np.asarray(cot_deg))
     cap = next((c for c in caps if c >= cd), caps[-1])
-    node_ids, scores = _wtf_p3_jit(graph, jnp.int32(src), cot, ppr,
+    node_ids, scores = _wtf_p3_jit(graph, jnp.int32(src), cot,
                                    alpha=float(alpha), cot_cap=cot_cap,
                                    cap=cap)
     return node_ids, scores, ppr, ppr_iters

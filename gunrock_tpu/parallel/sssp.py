@@ -62,8 +62,8 @@ def _make_sssp_fn(pg: PartitionedGraph, *, fcap: int, out_cap: int,
     nearfar = mode == "nearfar"
     pull_edges = pg.num_edges // max(pull_frac, 1)
 
-    def shard_fn(row, col, weights, send_idx, src_new, max_iters,
-                 blk=None):
+    def shard_fn(row, col, weights, send_idx, dist, frontier, n, active,
+                 level, n_global0, it0, bytes0, it_stop, blk=None):
         row = row.reshape(-1)
         col = col.reshape(-1)
         weights = weights.reshape(-1)
@@ -73,15 +73,7 @@ def _make_sssp_fn(pg: PartitionedGraph, *, fcap: int, out_cap: int,
             send_idx = send_idx.reshape(p, G)
         my = jax.lax.axis_index(axis).astype(jnp.int32)
         my_base = my * S
-        owns_src = (src_new >= my_base) & (src_new < my_base + S)
-        lsrc = jnp.where(owns_src, src_new - my_base, 0)
-
-        lane = jnp.arange(S, dtype=jnp.int32)
-        dist = jnp.where(owns_src & (lane == lsrc), 0.0, INF)
-        frontier = jnp.zeros((fcap,), jnp.int32).at[0].set(lsrc)
-        n = jnp.where(owns_src, 1, 0).astype(jnp.int32)
-        active0 = jnp.zeros((S,), jnp.bool_)
-        level0 = jnp.float32(delta if nearfar else jnp.inf)
+        n = n.reshape(())
 
         def push_step(dist, frontier, n):
             """Local relax -> owner-bucketed associate exchange ->
@@ -133,7 +125,7 @@ def _make_sssp_fn(pg: PartitionedGraph, *, fcap: int, out_cap: int,
 
         def cond(carry):
             _, _, _, _, _, n_global, it, ovf, _ = carry
-            return (n_global > 0) & (it < max_iters) & (~ovf)
+            return (n_global > 0) & (it < it_stop) & (~ovf)
 
         def body(carry):
             (dist, frontier, n, active, level, n_global, it, ovf,
@@ -184,23 +176,27 @@ def _make_sssp_fn(pg: PartitionedGraph, *, fcap: int, out_cap: int,
             # keep the carry uniformly varying for the VMA check
             return jax.tree.map(lambda x: pvary(x, axis), out)
 
-        init = (dist, frontier, n, active0, level0, jnp.int32(1),
-                jnp.int32(0), jnp.bool_(False), jnp.float32(0))
+        init = (dist, frontier, n, active, level, n_global0, it0,
+                jnp.bool_(False), bytes0)
         init = jax.tree.map(lambda x: pvary(x, axis), init)
-        (dist, _, _, _, _, _, iters, ovf, bytes_comm) = \
-            jax.lax.while_loop(cond, body, init)
+        (dist, frontier, n, active, level, n_global, iters, ovf,
+         bytes_comm) = jax.lax.while_loop(cond, body, init)
         # scalar outputs are identical on every shard but typed varying;
         # pmax re-establishes the replication proof for P() out_specs
         inv = lambda x: jax.lax.pmax(x.astype(jnp.float32)
                                      if x.dtype == jnp.bool_
                                      else x, axis)
-        return dist, inv(iters), inv(ovf) > 0, inv(bytes_comm)
+        return (dist, frontier, n.reshape(1), active, inv(level),
+                inv(n_global), inv(iters), inv(ovf) > 0, inv(bytes_comm))
 
     in_specs = [P(AXIS, None), P(AXIS, None), P(AXIS, None),
-                P(AXIS, None, None), P(), P()]
+                P(AXIS, None, None),
+                P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P(),
+                P()]
     if blocked is not None:
         in_specs.append(blocked.specs(AXIS))
-    out_specs = (P(AXIS), P(), P(), P())
+    out_specs = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P(),
+                 P())
     return jax.jit(jax.shard_map(shard_fn, mesh=mesh,
                                  in_specs=tuple(in_specs),
                                  out_specs=out_specs,
@@ -236,11 +232,43 @@ def sssp_sharded_device(pg: PartitionedGraph, src_new: int, *,
                        pallas_interpret=pallas_interpret)
     zero = jnp.zeros((pg.num_shards, 1, 1), jnp.int32)
     send_idx = pg.ghost_send_idx if pg.ghost_send_idx is not None else zero
-    args = [pg.row_offsets, pg.col_indices, pg.edge_values, send_idx,
-            jnp.int32(src_new), jnp.int32(max_iters)]
-    if blocked is not None:
-        args.append(blocked)
-    return fn(*args)
+    gargs = [pg.row_offsets, pg.col_indices, pg.edge_values, send_idx]
+
+    # Host-side initial state: the source's owner shard holds the lone
+    # frontier entry.
+    S, p = pg.shard_size, pg.num_shards
+    owner = int(src_new) // S
+    dist = np.full((p * S,), np.inf, np.float32)
+    dist[int(src_new)] = 0.0
+    frontier = np.zeros((p * fcap,), np.int32)
+    frontier[owner * fcap] = int(src_new) - owner * S
+    n = np.zeros((p,), np.int32)
+    n[owner] = 1
+    active = np.zeros((p * S,), np.bool_)
+    level = np.float32(delta if mode == "nearfar" else np.inf)
+    state = (jnp.asarray(dist), jnp.asarray(frontier), jnp.asarray(n),
+             jnp.asarray(active), jnp.asarray(level), jnp.int32(1),
+             jnp.int32(0), jnp.float32(0))
+
+    # Chunked enactment (single-chip models/sssp.py parity): bound each
+    # device dispatch by rounds*out_cap edge-lanes so deep traversals
+    # (thousands of near-far rounds) never exceed device-execution
+    # limits in a single call.
+    chunk = max(16, min(512, (1 << 31) // max(out_cap, 1)))
+    while True:
+        it0 = int(state[6])
+        it_stop = jnp.int32(min(it0 + chunk, max_iters))
+        args = gargs + list(state) + [it_stop]
+        if blocked is not None:
+            args.append(blocked)
+        out = fn(*args)
+        # out = (dist, frontier, n, active, level, n_global, it, ovf,
+        #        bytes); resume state excludes ovf (sticky via retry).
+        state, ovf = out[:7] + (out[8],), out[7]
+        n_global, iters = int(state[5]), int(state[6])
+        if n_global == 0 or bool(ovf) or iters >= max_iters:
+            break
+    return state[0], state[6], ovf, state[7]
 
 
 def sssp_sharded(graph: CsrGraph, src: int = 0, *, num_shards: int = None,

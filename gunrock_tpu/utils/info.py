@@ -90,6 +90,15 @@ def make_info(*, primitive: str, graph, stats=None, timer=None,
             info["m_teps"] = edges_visited / (elapsed_ms * 1000.0)
     if extra:
         info.update(extra)
+    # avg_duty (reference info.cuh:1380-1385): fraction of the enactment
+    # wall spent inside per-iteration kernel work. Only meaningful on
+    # instrumented runs, where per-iteration wall records exist.
+    per_iter = info.get("per_iteration")
+    process_ms = info.get("process_ms", 0.0)
+    if per_iter and process_ms > 0:
+        kernel_ms = sum(r.get("ms", 0.0) for r in per_iter
+                        if isinstance(r, dict))
+        info["avg_duty"] = min(kernel_ms / process_ms, 1.0)
     return info
 
 

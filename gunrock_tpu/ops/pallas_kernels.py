@@ -642,7 +642,7 @@ def _sample_sorted_2d(arr2d: jax.Array, pos2d: jax.Array, *,
     return pl.pallas_call(
         _sample_kernel,
         grid=(m // _SAMPLE_TILE_ROWS,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((_SAMPLE_TILE_ROWS, LANE), lambda k: (k, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((_SAMPLE_TILE_ROWS, LANE), lambda k: (k, 0),
@@ -755,8 +755,8 @@ def _sample_sorted2_2d(a2d, b2d, pos2d, *, interpret: bool):
     return pl.pallas_call(
         _sample2_kernel,
         grid=(m // _SAMPLE_TILE_ROWS,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((_SAMPLE_TILE_ROWS, LANE), lambda k: (k, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((_SAMPLE_TILE_ROWS, LANE), lambda k: (k, 0),

@@ -27,10 +27,12 @@ def pvary(x, axis: str):
     except (AttributeError, TypeError):
         pass
     if hasattr(jax.lax, "pcast"):
-        try:
-            return jax.lax.pcast(x, to="varying")
-        except TypeError:
-            pass
+        for args, kw in (((x, axis), {"to": "varying"}),
+                         ((x,), {"to": "varying"})):
+            try:
+                return jax.lax.pcast(*args, **kw)
+            except TypeError:
+                pass
     return jax.lax.pvary(x, (axis,))
 
 

@@ -4,12 +4,12 @@
 # timestamps.
 cd /root/repo
 OUT=bench_r3_auto.jsonl
-for i in $(seq 1 400); do
+for i in $(seq 1 600); do
   if timeout 90 python -c "import jax; assert jax.devices()" 2>/dev/null; then
     echo "# TPU up at $(date -u +%H:%M:%S)" >> $OUT
     break
   fi
-  sleep 90
+  sleep 60
 done
 timeout 90 python -c "import jax; assert jax.devices()" 2>/dev/null || exit 1
 run() {
@@ -23,3 +23,4 @@ run deep     "BENCH_ONLY=deep python bench_all.py"
 run tc       "BENCH_ONLY=tc python bench_all.py"
 run sharded1 "python scripts/bench_sharded1.py"
 run profile  "python scripts/profile_deep_r3.py"
+run matrix   "bash scripts/bench_matrix.sh BENCH_MATRIX.jsonl"

@@ -103,6 +103,8 @@ def emit(name, ms, edges, extra=None):
 
 
 def main():
+    import traceback
+
     import jax
     import numpy as np
     import gunrock_tpu as gt
@@ -124,7 +126,7 @@ def main():
     def want(name):
         return ONLY is None or name in ONLY
 
-    if want("bfs"):
+    def row_bfs():
         from gunrock_tpu.models.bfs import bfs_device
         dg = gt.to_device(g, with_csc=not meshy,
                           with_blocked_csc=not meshy,
@@ -139,9 +141,8 @@ def main():
                                         max_iters=16384))
         emit(f"bfs_do_{tag}" if not meshy else f"bfs_{tag}", ms, ev,
              {"search_depth": int(np.asarray(out[0]).max())})
-        del dg
 
-    if want("sssp"):
+    def row_sssp():
         from gunrock_tpu.models.sssp import sssp_device
         g.random_edge_values(seed=7)
         dgw = gt.to_device(g, with_edge_values=True,
@@ -161,9 +162,8 @@ def main():
                                          delta=delta))
         emit(f"sssp_{tag}", ms, ev,
              {"iters": int(out[2].iteration), "mode": mode})
-        del dgw
 
-    if want("pr"):
+    def row_pr():
         from gunrock_tpu.models.pr import pagerank_device
         dgc = gt.to_device(g, with_csc=True, with_edge_src=True,
                            with_blocked_values=True,
@@ -186,9 +186,8 @@ def main():
                                              rev=dgc))
             emit(f"hits_{tag}", ms / 10, 2 * E,
                  {"note": "per-iteration"})
-        del dgc
 
-    if want("cc"):
+    def row_cc():
         from gunrock_tpu.models.cc import cc_device
         dge = gt.to_device(g, with_edge_src=True,
                            with_blocked_values=True,
@@ -196,18 +195,16 @@ def main():
         out = jax.block_until_ready(cc_device(dge))
         ms = best_ms(lambda: cc_device(dge))
         emit(f"cc_{tag}", ms, E, {"iters": int(out[2].iteration)})
-        del dge
 
-    if want("bc"):
+    def row_bc():
         from gunrock_tpu.models.bc import bc_device
         dgb = gt.to_device(g, with_blocked_values=True,
                            blocked_cache=blockedv_cache)
         out = jax.block_until_ready(bc_device(dgb, src))
         ms = best_ms(lambda: bc_device(dgb, src))
         emit(f"bc_{tag}", ms, 2 * E)
-        del dgb
 
-    if want("deep"):
+    def row_deep():
         # Deep/high-diameter regime (road-like): non-DO BFS over a grid —
         # exercises the rung ladder, not the pull kernels.
         from gunrock_tpu.models.bfs import bfs_device
@@ -237,9 +234,8 @@ def main():
         ms = best_ms(lambda: sssp_device(dgw, 0, mode="nearfar",
                                          delta=256.0))
         emit("sssp_deep_grid1024", ms, gg.num_edges)
-        del dgw
 
-    if want("tc"):
+    def row_tc():
         # TC wedge volume on hub-heavy rmat grows superlinearly; the TC
         # row uses a smaller standard graph (reference TC benches do the
         # same, doc/stats: coAuthors/road-class graphs).
@@ -250,6 +246,20 @@ def main():
         emit("tc_rmat17", res.info["process_ms"],
              res.info["wedges_probed"],
              {"triangles": res.total})
+
+    # Fault-isolated rows: one row failing (OOM on a matrix graph, a
+    # backend without native pallas, a flaky tunnel) must not kill the
+    # rest of the sweep.
+    for name, fn in (("bfs", row_bfs), ("sssp", row_sssp),
+                     ("pr", row_pr), ("cc", row_cc), ("bc", row_bc),
+                     ("deep", row_deep), ("tc", row_tc)):
+        if not want(name):
+            continue
+        try:
+            fn()
+        except Exception:
+            print(f"# {name}_{tag} row FAILED", file=sys.stderr)
+            traceback.print_exc()
 
 
 if __name__ == "__main__":

@@ -24,3 +24,4 @@ run tc       "BENCH_ONLY=tc python bench_all.py"
 run sharded1 "python scripts/bench_sharded1.py"
 run profile  "python scripts/profile_deep_r3.py"
 run matrix   "bash scripts/bench_matrix.sh BENCH_MATRIX.jsonl"
+run value_ab "python scripts/value_ab_r3.py"

@@ -14,9 +14,11 @@ Each run: load/generate the graph -> run the primitive ``--iteration-num``
 times -> validate against the in-package CPU oracle (skipped by
 ``--quick``, reference semantics) -> print CORRECT/INCORRECT -> emit the
 Info JSON run record (``util/info.cuh``) to ``--jsonfile/--jsondir``.
-``--num-shards=N`` routes BFS/SSSP/PR through the multi-chip shard_map
-path (the reference's ``--device=0,1,...``; on one chip this is the
-``--device=0,0`` fake-multi-GPU trick, CMakeLists.txt:389-421).
+``--num-shards=N`` routes every primitive through its multi-chip
+shard_map path (the reference's ``--device=0,1,...``; on one chip this
+is the ``--device=0,0`` fake-multi-GPU trick, CMakeLists.txt:389-421).
+The reference's multi-GPU zoo covers bfs/sssp/bc/cc/pr only; here the
+link-analysis and counting primitives shard too.
 """
 
 from __future__ import annotations
@@ -274,8 +276,15 @@ def _run_bc(args, g, src):
 
 
 def _run_hits(args, g, src):
-    from .models import hits
-    res = hits(g, max_iters=args.max_iter)
+    if args.num_shards:
+        from .parallel.hits import hits_sharded
+        res = hits_sharded(g, max_iters=args.max_iter,
+                           num_shards=args.num_shards,
+                           partition_method=args.partition_method,
+                           seed=args.partition_seed)
+    else:
+        from .models import hits
+        res = hits(g, max_iters=args.max_iter)
     ok = True
     if not args.quick:
         hub, auth = oracle.cpu_hits(g, args.max_iter)
@@ -286,8 +295,15 @@ def _run_hits(args, g, src):
 
 
 def _run_salsa(args, g, src):
-    from .models import salsa
-    res = salsa(g, max_iters=args.max_iter)
+    if args.num_shards:
+        from .parallel.hits import salsa_sharded
+        res = salsa_sharded(g, max_iters=args.max_iter,
+                            num_shards=args.num_shards,
+                            partition_method=args.partition_method,
+                            seed=args.partition_seed)
+    else:
+        from .models import salsa
+        res = salsa(g, max_iters=args.max_iter)
     ok = True
     if not args.quick:
         hub, auth = oracle.cpu_salsa(g, args.max_iter)
@@ -325,8 +341,15 @@ def _run_wtf(args, g, src):
 
 
 def _run_topk(args, g, src):
-    from .models import topk
-    res = topk(g, k=args.top_nodes)
+    if args.num_shards:
+        from .parallel.topk import topk_sharded
+        res = topk_sharded(g, k=args.top_nodes,
+                           num_shards=args.num_shards,
+                           partition_method=args.partition_method,
+                           seed=args.partition_seed)
+    else:
+        from .models import topk
+        res = topk(g, k=args.top_nodes)
     ok = True
     if not args.quick:
         gc = g.csc()
@@ -339,8 +362,12 @@ def _run_topk(args, g, src):
 
 
 def _run_tc(args, g, src):
-    from .models.tc import tc as tc_fn
-    res = tc_fn(g)
+    if args.num_shards:
+        from .parallel.tc import tc_sharded
+        res = tc_sharded(g, num_shards=args.num_shards)
+    else:
+        from .models.tc import tc as tc_fn
+        res = tc_fn(g)
     ok = True
     if not args.quick:
         ok = _report(res.total == oracle.cpu_tc(g), "tc", args.quiet)

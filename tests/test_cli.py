@@ -68,6 +68,18 @@ def test_cli_sharded_bfs(capsys):
     assert "CORRECT" in capsys.readouterr().out
 
 
+@pytest.mark.parametrize("prim", ["hits", "salsa", "topk", "tc"])
+def test_cli_sharded_extended_zoo(prim, capsys):
+    """--num-shards routes the beyond-parity primitives through their
+    shard_map paths and still validates against the CPU oracles."""
+    path = reference_dataset("chesapeake.mtx")
+    rc = run_cli([prim, "market", path, "--undirected", "--no-cache",
+                  "--num-shards=2", "--max-iter=10"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "CORRECT" in out and "INCORRECT" not in out
+
+
 def test_cli_quick_skips_validation(capsys):
     rc = run_cli(["topk", "rmat", "--rmat_scale=8", "--quick",
                   "--top-nodes=5"])

@@ -176,16 +176,18 @@ def main():
         emit(f"pr_{tag}", ms / iters, E,
              {"note": "per-iteration", "iters": iters})
 
-        if want("hits"):
-            from gunrock_tpu.models.hits import hits_device
-            # bench graph is undirected: the transpose is the graph
-            # itself, so dgc doubles as the reverse blocked layout
-            out = jax.block_until_ready(
-                hits_device(dgc, max_iters=10, rev=dgc))
-            ms = best_ms(lambda: hits_device(dgc, max_iters=10,
-                                             rev=dgc))
-            emit(f"hits_{tag}", ms / 10, 2 * E,
-                 {"note": "per-iteration"})
+    def row_hits():
+        from gunrock_tpu.models.hits import hits_device
+        dgc = gt.to_device(g, with_csc=True, with_edge_src=True,
+                           with_blocked_values=True,
+                           blocked_cache=blockedv_cache)
+        # bench graph is undirected: the transpose is the graph
+        # itself, so dgc doubles as the reverse blocked layout
+        out = jax.block_until_ready(
+            hits_device(dgc, max_iters=10, rev=dgc))
+        del out
+        ms = best_ms(lambda: hits_device(dgc, max_iters=10, rev=dgc))
+        emit(f"hits_{tag}", ms / 10, 2 * E, {"note": "per-iteration"})
 
     def row_cc():
         from gunrock_tpu.models.cc import cc_device
@@ -251,8 +253,8 @@ def main():
     # backend without native pallas, a flaky tunnel) must not kill the
     # rest of the sweep.
     for name, fn in (("bfs", row_bfs), ("sssp", row_sssp),
-                     ("pr", row_pr), ("cc", row_cc), ("bc", row_bc),
-                     ("deep", row_deep), ("tc", row_tc)):
+                     ("pr", row_pr), ("hits", row_hits), ("cc", row_cc),
+                     ("bc", row_bc), ("deep", row_deep), ("tc", row_tc)):
         if not want(name):
             continue
         try:

@@ -47,6 +47,13 @@ class LoopStats:
     frontier_trace: jax.Array  # (TRACE_LEN,) int32
 
 
+def i32_clip(x):
+    """Clip to int32 (stats/dispatch values) — keeps loop-state dtypes
+    stable when offsets are int64 (--64bit-SizeT)."""
+    import jax.numpy as jnp
+    return jnp.minimum(x, 2**31 - 1).astype(jnp.int32)
+
+
 def init_stats() -> LoopStats:
     return LoopStats(
         iteration=jnp.int32(0),

@@ -442,8 +442,13 @@ def to_device(
             # The blocked layout is expensive to build (host lexsort over
             # all edges) — reload it from the .npz cache when present.
             with np.load(blocked_cache) as z:
+                # v_pad is part of the layout contract (group bounds,
+                # sample positions): a cache written under a different
+                # padding rule must be rebuilt, not reused.
                 if (int(z["block_rows"]) == br
                         and int(z["groups"]) == blocked_groups
+                        and "v_pad" in z.files
+                        and int(z["v_pad"]) == v_pad
                         and ("bcsc_cellword" in z.files or br < 32)
                         and bool(z["has_vsamples"]) >= with_blocked_values):
                     built = {k: jnp.asarray(z[k]) for k in z.files
@@ -464,6 +469,7 @@ def to_device(
                 arrs["block_rows"] = np.int64(built["bcsc_block_rows"])
                 arrs["has_vsamples"] = np.bool_(
                     "bcsc_vsample_pos" in built)
+                arrs["v_pad"] = np.int64(v_pad)
                 try:
                     tmp = blocked_cache + ".tmp"
                     with open(tmp, "wb") as f:

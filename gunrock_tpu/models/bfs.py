@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..enactor import (LoopStats, capacity_ladder, dispatch_by_size,
-                       init_stats, record_iteration, Timer)
+                       i32_clip as _i32, init_stats, record_iteration,
+                       Timer)
 from ..graph.csr import CsrGraph
 from ..graph.device import DeviceGraph, to_device
 from ..ops.advance import expand
@@ -78,11 +79,6 @@ class _State:
     stats: LoopStats
 
 
-
-def _i32(x):
-    """Clip to int32 (stats/dispatch values) — keeps loop-state dtypes
-    stable when offsets are int64 (--64bit-SizeT)."""
-    return jnp.minimum(x, 2**31 - 1).astype(jnp.int32)
 
 def _frontier_degree_sum(graph: DeviceGraph, frontier: jax.Array,
                          n: jax.Array) -> jax.Array:

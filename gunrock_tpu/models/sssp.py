@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..enactor import (LoopStats, capacity_ladder, dispatch_by_size,
-                       init_stats, record_iteration, Timer)
+                       i32_clip as _i32, init_stats, record_iteration,
+                       Timer)
 from ..graph.csr import CsrGraph
 from ..graph.device import DeviceGraph, to_device
 from ..ops.advance import expand
@@ -42,12 +43,6 @@ from ..utils.info import make_info
 __all__ = ["sssp", "SsspResult", "sssp_device"]
 
 INF = jnp.float32(jnp.inf)
-
-
-def _i32(x):
-    """Clip to int32 (stats/dispatch values) — keeps loop-state dtypes
-    stable when offsets are int64 (--64bit-SizeT)."""
-    return jnp.minimum(x, 2**31 - 1).astype(jnp.int32)
 
 
 @dataclasses.dataclass
@@ -257,7 +252,13 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
             min_dq = jnp.min(jnp.where(valid, dq, INF))
             k = jnp.maximum(
                 jnp.floor((min_dq - st.level) / delta) + 1.0, 1.0)
-            level = jnp.where(any_near, st.level, st.level + k * delta)
+            jumped = st.level + k * delta
+            # float32 guard: the jumped threshold must clear min_dq
+            # STRICTLY (near uses dq < level) or the micro loop spins on
+            # an empty near bucket until the chunk budget drains.
+            jumped = jnp.where(jumped > min_dq, jumped,
+                               jnp.nextafter(min_dq, INF))
+            level = jnp.where(any_near, st.level, jumped)
         else:
             near = valid
             level = st.level

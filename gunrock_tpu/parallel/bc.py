@@ -205,7 +205,7 @@ def bc_sharded(graph: CsrGraph, src: Union[int, str] = 0, *,
                "partition_method": partition_method,
                "ghost_cap": int(pg.ghost_cap),
                "comm_bytes_per_superstep":
-                   num_shards * num_shards * pg.ghost_cap * 4},
+                   num_shards * (num_shards - 1) * pg.ghost_cap * 4},
     )
     return ShardedBcResult(
         bc_values=bc,

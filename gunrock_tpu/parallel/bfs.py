@@ -128,18 +128,37 @@ def _push_step(pg: PartitionedGraph, *, fcap: int, out_cap: int,
     return step
 
 
+def _pull_frontier_words(labels, depth, axis: str, comm_latency: int):
+    """Frontier -> packed local bitmask -> all-gather (the reference's
+    backward frontier_map over the inverse CSR,
+    oprtr/advance/kernel.cuh:355-379, exchanged as O(V/32) words)."""
+    words = _pack_words(labels == depth - 1)
+    gwords = jax.lax.all_gather(words, axis, tiled=True)  # (p*S/32,)
+    return inject_latency(gwords, comm_latency)
+
+
+def _pull_finish(state, reached, deg, csc_row, depth, p: int, S: int):
+    """Shared tail of both pull supersteps: label the newly reached
+    vertices, emit local counters + byte accounting. The frontier queue
+    is left stale; push rebuilds it lazily from labels."""
+    labels, preds, frontier, n, m_f = state
+    new_mask = (labels == -1) & reached
+    labels = jnp.where(new_mask, depth, labels)
+    n_local = jnp.sum(new_mask.astype(jnp.int32))
+    m_f_local = jnp.sum(jnp.where(new_mask, deg, 0))
+    edges = csc_row[-1]
+    sent = jnp.int32((p - 1) * (S // 32) * 4)
+    return (labels, preds, frontier, n_local, m_f_local), edges, \
+        jnp.bool_(False), sent
+
+
 def _pull_step(pg: PartitionedGraph, *, axis: str, comm_latency: int):
     S = pg.shard_size
     p = pg.num_shards
 
     def step(csc_row, csc_col, deg, state, depth):
-        labels, preds, frontier, n, m_f = state
-        # Frontier -> packed local bitmask -> all-gather (the reference's
-        # backward frontier_map over the inverse CSR,
-        # oprtr/advance/kernel.cuh:355-379, exchanged as O(V/32) words).
-        words = _pack_words(labels == depth - 1)
-        gwords = jax.lax.all_gather(words, axis, tiled=True)  # (p*S/32,)
-        gwords = inject_latency(gwords, comm_latency)
+        labels = state[0]
+        gwords = _pull_frontier_words(labels, depth, axis, comm_latency)
         fbool = _unpack_words(gwords)                         # (p*S,) bool
 
         # reached(v) = any in-neighbor in the frontier: cumsum-boundary
@@ -149,16 +168,7 @@ def _pull_step(pg: PartitionedGraph, *, axis: str, comm_latency: int):
         run0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), run])
         samples = jnp.take(run0, csc_row, indices_are_sorted=True)
         reached = (samples[1:] - samples[:-1]) > 0
-
-        new_mask = (labels == -1) & reached
-        labels = jnp.where(new_mask, depth, labels)
-        n_local = jnp.sum(new_mask.astype(jnp.int32))
-        m_f_local = jnp.sum(jnp.where(new_mask, deg, 0))
-        edges = csc_row[-1]
-        sent = jnp.int32((p - 1) * (S // 32) * 4)
-        # frontier queue left stale; push rebuilds it lazily from labels
-        return (labels, preds, frontier, n_local, m_f_local), edges, \
-            jnp.bool_(False), sent
+        return _pull_finish(state, reached, deg, csc_row, depth, p, S)
 
     return step
 
@@ -178,26 +188,15 @@ def _pull_step_blocked(pg: PartitionedGraph, *, axis: str,
     p = pg.num_shards
 
     def step(blk_local: ShardedBlocked, csc_row, deg, state, depth):
-        labels, preds, frontier, n, m_f = state
+        labels = state[0]
         R = blk_local.bcsc_groups * blk_local.bcsc_rows_per_group
-        words = _pack_words(labels == depth - 1)              # (S/32,)
-        gwords = jax.lax.all_gather(words, axis, tiled=True)  # (p*S/32,)
-        gwords = inject_latency(gwords, comm_latency)
+        gwords = _pull_frontier_words(labels, depth, axis, comm_latency)
         nw = gwords.shape[0]
         table = jnp.zeros((R * LANE,), jnp.int32) \
             .at[:nw].set(gwords).reshape(R, LANE)
         reached = unpack_bitmask(
             pull_reached_words(table, blk_local, interpret=interpret), S)
-
-        new_mask = (labels == -1) & reached
-        labels = jnp.where(new_mask, depth, labels)
-        n_local = jnp.sum(new_mask.astype(jnp.int32))
-        m_f_local = jnp.sum(jnp.where(new_mask, deg, 0))
-        edges = csc_row[-1]
-        sent = jnp.int32((p - 1) * (S // 32) * 4)
-        # frontier queue left stale; push rebuilds it lazily from labels
-        return (labels, preds, frontier, n_local, m_f_local), edges, \
-            jnp.bool_(False), sent
+        return _pull_finish(state, reached, deg, csc_row, depth, p, S)
 
     return step
 

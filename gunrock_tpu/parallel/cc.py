@@ -210,7 +210,7 @@ def cc_sharded(graph: CsrGraph, *, num_shards: int = None,
                "partition_method": partition_method,
                "ghost_cap": int(pg.fwd_ghost_cap),
                "comm_bytes_per_superstep":
-                   num_shards * num_shards * pg.fwd_ghost_cap * 4,
+                   num_shards * (num_shards - 1) * pg.fwd_ghost_cap * 4,
                "comm_latency_rounds": comm_latency},
     )
     return ShardedCcResult(components=comp, num_components=num_components,

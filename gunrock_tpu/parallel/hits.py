@@ -128,7 +128,7 @@ def _link_sharded(kind: str, graph: CsrGraph, *, num_shards, max_iters,
 
     hubs = np.asarray(hub).reshape(-1)[perm]
     auths = np.asarray(auth).reshape(-1)[perm]
-    bytes_per_step = num_shards * num_shards * \
+    bytes_per_step = num_shards * (num_shards - 1) * \
         (pg.ghost_cap + pg.fwd_ghost_cap) * 4
     info = make_info(
         primitive=f"{kind}_sharded", graph=graph, timer=timer,

@@ -183,7 +183,7 @@ def pagerank_sharded(graph: CsrGraph, *, num_shards: int = None,
     ranks_old = np.asarray(rank)[perm]
     order = np.argsort(-ranks_old, kind="stable").astype(np.int32)
     # boundary-exchange volume: p*ghost_cap values per shard per superstep
-    bytes_per_step = num_shards * num_shards * pg.ghost_cap * 4
+    bytes_per_step = num_shards * (num_shards - 1) * pg.ghost_cap * 4
     info = make_info(
         primitive="pagerank_sharded", graph=graph, timer=timer,
         edges_visited=graph.num_edges * int(iters),

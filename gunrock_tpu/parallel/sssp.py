@@ -120,7 +120,7 @@ def _make_sssp_fn(pg: PartitionedGraph, *, fcap: int, out_cap: int,
                                       interpret=pallas_interpret)
             new_dist = jnp.minimum(dist, cand)
             imp = new_dist < dist
-            sent = jnp.int32(p * G * 4)
+            sent = jnp.int32((p - 1) * G * 4)
             return new_dist, imp, jnp.bool_(False), sent
 
         def cond(carry):
@@ -153,9 +153,16 @@ def _make_sssp_fn(pg: PartitionedGraph, *, fcap: int, out_cap: int,
                     jnp.sum(near.astype(jnp.int32)), axis) > 0
                 gmin = jax.lax.pmin(
                     jnp.min(jnp.where(active, dist, INF)), axis)
-                new_level = jnp.where(
-                    jnp.isfinite(gmin),
-                    delta * (jnp.floor(gmin / delta) + 1.0), level)
+                new_level = delta * (jnp.floor(gmin / delta) + 1.0)
+                # float32 guard: the advanced threshold must clear gmin
+                # STRICTLY (near uses dist < level), or the near bucket
+                # stays empty and the loop exits with active vertices
+                # unprocessed — the single-chip _bisect loops until near
+                # is nonempty and can't exit early.
+                new_level = jnp.where(new_level > gmin, new_level,
+                                      jnp.nextafter(gmin, INF))
+                new_level = jnp.where(jnp.isfinite(gmin), new_level,
+                                      level)
                 level = jnp.where(any_near, level, new_level)
                 near = active & (dist < level)
                 active = active & ~near

@@ -73,32 +73,33 @@ def tc_sharded(graph: Union[CsrGraph], *, num_shards: int = None,
         cdst_l = cdst_l.reshape(cps, -1)
         ne_l = ne_l.reshape(-1)
 
-        def body(vc, ch):
+        def body(_, ch):
             cs, cd, n = ch
             counts, vcounts, _ = intersect_counts(
                 row, col, esrc, cs, cd, n, wedge_cap)
-            return vc + vcounts, counts
+            return None, (counts, vcounts)
 
-        vc, counts = jax.lax.scan(
-            body, jnp.zeros((v_pad,), jnp.int32),
-            (csrc_l, cdst_l, ne_l))
-        vc = jax.lax.psum(vc, AXIS)
-        return vc, counts
+        _, (counts, vc_chunks) = jax.lax.scan(
+            body, None, (csrc_l, cdst_l, ne_l))
+        return vc_chunks, counts
 
-    # Graph arrays replicated; chunk tables sharded. check_vma=False:
-    # the psum outputs are replicated but inference can't see it.
+    # Graph arrays replicated; chunk tables sharded.
     fn = jax.jit(jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(), P(AXIS, None), P(AXIS, None), P(AXIS)),
-        out_specs=(P(), P(AXIS, None)), check_vma=False))
+        out_specs=(P(AXIS, None), P(AXIS, None))))
 
     with timer.time("process_ms"):
-        vc, counts = jax.block_until_ready(fn(
+        vc_chunks, counts = jax.block_until_ready(fn(
             jnp.asarray(prep.row), jnp.asarray(prep.col),
             jnp.asarray(prep.esrc_pad), jnp.asarray(csrc),
             jnp.asarray(cdst), jnp.asarray(ne)))
-        # Authoritative total on host in int64 (device-side accumulators
-        # stay int32; huge graphs could overflow a device psum).
+        # Per-chunk device results accumulate on the HOST in int64 —
+        # the single-chip contract (models/tc.py): per-chunk int32 is
+        # safe (chunk wedge caps bound them) but a cross-chunk device
+        # accumulator could overflow on huge graphs.
+        vc = np.asarray(vc_chunks).reshape(
+            p * cps, -1).sum(axis=0, dtype=np.int64)
         counts_np = np.asarray(counts).reshape(p * cps, -1)
         tot = sum(int(counts_np[ci, : ne[ci]].sum(dtype=np.int64))
                   for ci in range(p * cps))

@@ -208,7 +208,7 @@ def wtf_sharded(graph: CsrGraph, src: int = 0, *, delta: float = 0.85,
     # Final ranking: score desc, original id asc — single-chip
     # lax.top_k tie order.
     order = np.lexsort((np.arange(graph.num_nodes), -ref_out))[:cot_cap]
-    bytes_per_step = num_shards * num_shards * \
+    bytes_per_step = num_shards * (num_shards - 1) * \
         (pg.ghost_cap + pg.fwd_ghost_cap) * 4
     info = make_info(
         primitive="wtf_sharded", graph=graph, timer=timer,

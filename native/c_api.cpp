@@ -28,14 +28,11 @@
 
 namespace {
 
-bool g_we_initialized = false;
-
 // Ensure the interpreter is live and the GIL is held by this thread.
 // Returns the GIL state token semantics via *created_state.
 PyGILState_STATE ensure_python(bool* ok) {
   if (!Py_IsInitialized()) {
     Py_InitializeEx(0);
-    g_we_initialized = true;
     // Make the repo + build-time site-packages importable: an embedded
     // interpreter does not inherit a venv's sys.path.
     PyRun_SimpleString(
@@ -43,6 +40,11 @@ PyGILState_STATE ensure_python(bool* ok) {
         "for _p in \"" GRTPU_PYPATH "\".split(\":\"):\n"
         "    if _p and _p not in sys.path:\n"
         "        sys.path.insert(0, _p)\n");
+    // Release the GIL acquired by Py_InitializeEx: PyGILState_Release
+    // below only restores the pre-Ensure state, so without this the
+    // initializing thread would keep the GIL forever and a call from
+    // any OTHER thread would deadlock in PyGILState_Ensure.
+    PyEval_SaveThread();
   }
   *ok = true;
   return PyGILState_Ensure();

@@ -23,6 +23,7 @@ frontier. Two scheduling modes:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional, Union
 
@@ -115,8 +116,8 @@ def _winner_minimize(dist, dst, cand, mask, v_pad: int):
     the exact produced sums are what make ``_fill_preds``' float-equality
     parent recovery valid, so every relax path (general rungs and the
     deep micro-loop) MUST route through this one helper. Returns
-    ``(dist', sorted_dst, win_mask)``; winners are sorted by
-    construction."""
+    ``(dist', sorted_dst, win_mask, sorted_cand)``; winners are sorted
+    by construction and ``sorted_cand[win]`` is their new distance."""
     cand = jnp.where(mask, cand, INF)
     dstm = jnp.where(mask, dst, v_pad - 1)
     sd, sc = jax.lax.sort((dstm, cand), num_keys=2)
@@ -124,7 +125,7 @@ def _winner_minimize(dist, dst, cand, mask, v_pad: int):
                             sd[1:] != sd[:-1]])
     d_old = jnp.take(dist, sd, indices_are_sorted=True)
     win = head & (sc < d_old)
-    return scatter_set(dist, sd, sc, mask=win), sd, win
+    return scatter_set(dist, sd, sc, mask=win), sd, win, sc
 
 
 def _bisect(dist, delta, level, near, active):
@@ -170,8 +171,8 @@ def _relax(graph: DeviceGraph, state: _State, cap: int, fcap: int,
     ex = expand(graph, frontier, n0, cap, sorted_frontier=True,
                 with_dst=False)
     dst, w, dsrc = _relax_payload(graph, state.dist, ex, use_pallas)
-    dist, sd, win = _winner_minimize(state.dist, dst, dsrc + w, ex.mask,
-                                     graph.v_pad)
+    dist, sd, win, _ = _winner_minimize(state.dist, dst, dsrc + w,
+                                        ex.mask, graph.v_pad)
     # Winners are sorted by construction -> next queue needs no re-sort.
     nf, n_next = compact(sd, win, fcap, fill=graph.v_pad - 1)
     m_next = _i32(_laddered_mf(graph, nf, n_next, fcap))
@@ -211,7 +212,7 @@ DEEP_CAP = 8192
 
 def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
                     upto: jax.Array, upto_edges: jax.Array,
-                    pallas: bool = False):
+                    pallas: bool = False, carry: bool = False):
     """Deep-graph regime: many tiny relaxation rounds (road/grid
     diameters). Mirrors the BFS micro-loop (``models/bfs.py``) but keeps
     true near-far scheduling: the rung-scale QUEUE carries every vertex
@@ -223,7 +224,16 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
     pile/mask passes of the general near-far step run per round. The
     queue spills to the general ladder (via micro_cond) when it outgrows
     the rung; the far-pile MASK (populated only by general rounds) is
-    refilled from at stretch granularity, not per round."""
+    refilled from at stretch granularity, not per round.
+
+    ``carry=True`` enables queue value-carry: (dist, degree) ride
+    alongside each queued vertex in 2C-wide loop-carried arrays, gathered
+    from the big arrays once per stretch. The carried dist is exact —
+    every improvement re-enqueues its vertex through the merge, whose
+    (id, dist) 2-key sort-dedup keeps the minimum entry — so the
+    per-round dist gather, the per-edge source-dist gather, and the
+    2C-wide degree re-gather all collapse to rung-scale takes; the one
+    remaining big gather per round is the winners' degrees."""
     C = DEEP_CAP
     lane = jnp.arange(C, dtype=jnp.int32)
     lane2 = jnp.arange(2 * C, dtype=jnp.int32)
@@ -268,8 +278,8 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
         ex = expand(graph, nq, _i32(nn), C, sorted_frontier=True,
                     with_dst=False)
         dst, w, dsrc = _relax_payload(graph, st.dist, ex, pallas)
-        dist, sd, win = _winner_minimize(st.dist, dst, dsrc + w, ex.mask,
-                                         graph.v_pad)
+        dist, sd, win, _ = _winner_minimize(st.dist, dst, dsrc + w,
+                                            ex.mask, graph.v_pad)
 
         # New queue = (queued \ relaxed-near) | winners: 2C sort-dedup.
         merged = jax.lax.sort(jnp.concatenate(
@@ -288,8 +298,97 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
         return _State(dist=dist, frontier=frontier, n=n2, m_f=m2,
                       active=st.active, level=level, stats=stats)
 
+    def _split_near(st, dq, valid):
+        """Near/far split + one-shot Bisect on the rung-scale dist
+        vector (shared by both micro bodies)."""
+        if not nearfar:
+            return valid, st.level
+        near = valid & (dq < st.level)
+        any_near = jnp.any(near)
+        min_dq = jnp.min(jnp.where(valid, dq, INF))
+        k = jnp.maximum(
+            jnp.floor((min_dq - st.level) / delta) + 1.0, 1.0)
+        jumped = st.level + k * delta
+        jumped = jnp.where(jumped > min_dq, jumped,
+                           jnp.nextafter(min_dq, INF))
+        level = jnp.where(any_near, st.level, jumped)
+        return near, level
+
+    def micro_body_carry(c):
+        st, qd, qg = c
+        q = jax.lax.dynamic_slice(st.frontier, (0,), (C,))
+        valid = lane < st.n
+        q = jnp.where(valid, q, graph.v_pad - 1)
+        dq = qd[:C]                       # carried — no dist gather
+        near, level = _split_near(st, dq, valid)
+
+        # Near subset positions (order-preserving -> nq stays sorted);
+        # payload dist comes from the carried rung array.
+        nidx, nn = compact(lane, near, C, fill=0)
+        nn = _i32(nn)
+        nq = jnp.where(lane < nn, jnp.take(q, nidx), graph.v_pad - 1)
+        ndq = jnp.take(dq, nidx)
+        ex = expand(graph, nq, nn, C, sorted_frontier=True,
+                    with_dst=False)
+        if pallas:
+            from ..ops.pallas_kernels import sample_sorted2
+            dst, w = sample_sorted2(graph.col_indices, graph.edge_values,
+                                    ex.eid)
+        else:
+            dst = jnp.take(graph.col_indices, ex.eid,
+                           indices_are_sorted=True)
+            w = jnp.take(graph.edge_values, ex.eid,
+                         indices_are_sorted=True)
+        # ex.rank is nondecreasing across ALL lanes (cumsum-built), so
+        # the sorted-gather hint holds; clip handles the invalid tail
+        # (those lanes are masked out in _winner_minimize anyway).
+        dsrc = jnp.take(ndq, ex.rank, indices_are_sorted=True,
+                        mode="clip")
+        dist, sd, win, sc = _winner_minimize(st.dist, dst, dsrc + w,
+                                             ex.mask, graph.v_pad)
+        # The ONE remaining big-array gather: winners' degrees.
+        wdeg = jnp.take(deg_arr, sd, indices_are_sorted=True) \
+            .astype(jnp.int32)
+
+        # Merge with payloads: 2-key (id, dist) sort keeps the min-dist
+        # entry at each id run head; degrees ride along.
+        far = valid & ~near
+        ids = jnp.concatenate([jnp.where(far, q, SENT),
+                               jnp.where(win, sd, SENT)])
+        ds = jnp.concatenate([jnp.where(far, dq, INF),
+                              jnp.where(win, sc, INF)])
+        gs = jnp.concatenate([jnp.where(far, qg[:C], 0),
+                              jnp.where(win, wdeg, 0)])
+        sids, sds, sgs = jax.lax.sort((ids, ds, gs), num_keys=2)
+        mhead = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                 sids[1:] != sids[:-1]])
+        keep = mhead & (sids < SENT)
+        kidx, n2 = compact(lane2, keep, 2 * C, fill=0)
+        n2 = _i32(n2)
+        kvalid = lane2 < n2
+        newq = jnp.where(kvalid, jnp.take(sids, kidx), graph.v_pad - 1)
+        newd = jnp.take(sds, kidx)
+        newg = jnp.where(kvalid, jnp.take(sgs, kidx), 0)
+        m2 = _i32(jnp.sum(newg))          # carried — no degree re-gather
+        frontier = jax.lax.dynamic_update_slice(st.frontier, newq, (0,))
+        stats = record_iteration(st.stats, frontier_len=n2,
+                                 edges=ex.total)
+        st2 = _State(dist=dist, frontier=frontier, n=n2, m_f=m2,
+                     active=st.active, level=level, stats=stats)
+        return st2, newd, newg
+
     def micro(state: _State):
-        return jax.lax.while_loop(micro_cond, micro_body, state)
+        if not carry:
+            return jax.lax.while_loop(micro_cond, micro_body, state)
+        # Stretch entry: one 2C gather each for dist + degree.
+        q2 = jax.lax.dynamic_slice(state.frontier, (0,), (2 * C,))
+        q2 = jnp.where(lane2 < state.n, q2, graph.v_pad - 1)
+        qd = jnp.take(state.dist, q2, indices_are_sorted=True)
+        qg = jnp.take(deg_arr, q2, indices_are_sorted=True) \
+            .astype(jnp.int32)
+        out = jax.lax.while_loop(lambda c: micro_cond(c[0]),
+                                 micro_body_carry, (state, qd, qg))
+        return out[0]
 
     if mode != "nearfar":
         return micro
@@ -368,7 +467,8 @@ def _make_nearfar_branch(graph, fcap, delta, use_pallas):
 def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
                delta: jax.Array, upto_edges: jax.Array, *,
                fcap: int, caps: tuple[int, ...], mode: str,
-               pallas: bool = False, init: bool = False):
+               pallas: bool = False, init: bool = False,
+               deep_carry: bool = False):
     """Run relaxation rounds until convergence, ``upto`` iterations, or
     ``upto_edges`` cumulative relaxed edge-lanes.
 
@@ -389,7 +489,7 @@ def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
     else:
         branch = _make_bellman_branch(graph, fcap, pallas)
     deep = (_make_deep_loop(graph, fcap, delta, mode, upto, upto_edges,
-                            pallas=pallas)
+                            pallas=pallas, carry=deep_carry)
             if fcap >= 2 * DEEP_CAP else None)
 
     def cond(state: _State):
@@ -468,7 +568,8 @@ def _fill_preds(graph: DeviceGraph, dist: jax.Array) -> jax.Array:
 _sssp_jit = jax.jit(
     _sssp_loop,
     # delta stays dynamic (a traced f32): sweeping it must not recompile.
-    static_argnames=("fcap", "caps", "mode", "pallas", "init"),
+    static_argnames=("fcap", "caps", "mode", "pallas", "init",
+                     "deep_carry"),
 )
 _fill_preds_jit = None  # jitted lazily below
 
@@ -478,11 +579,16 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
                 queue_sizing: float = 1.0,
                 max_iters: Optional[int] = None,
                 chunk_iters: Optional[int] = None,
-                instrument: Optional[list] = None):
+                instrument: Optional[list] = None,
+                deep_carry: Optional[bool] = None):
     """``instrument``: pass a list to enact one round per device call and
     collect per-round wall-clock records (reference ``--instrumented``
     kernel stats, ``util/kernel_runtime_stats.cuh``); adds per-call
-    dispatch overhead, exactly like the reference's instrumented runs."""
+    dispatch overhead, exactly like the reference's instrumented runs.
+    ``deep_carry`` enables queue value-carry in the deep micro-loop
+    (defaults to the GUNROCK_SSSP_CARRY env var; see _make_deep_loop)."""
+    if deep_carry is None:
+        deep_carry = os.environ.get("GUNROCK_SSSP_CARRY", "0") == "1"
     if not graph.has_edge_values:
         raise ValueError("SSSP needs to_device(with_edge_values=True)")
     fcap = max(128, int(graph.v_pad * min(queue_sizing, 1.0)))
@@ -505,7 +611,8 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
         return _sssp_jit(graph, st, jnp.int32(upto), jnp.float32(delta),
                          jnp.float32(edge_hi),
                          fcap=fcap, caps=caps, mode=mode,
-                         pallas=use_pallas, init=first)
+                         pallas=use_pallas, init=first,
+                         deep_carry=deep_carry)
 
     # Chunked enactment (see bfs_device).
     import time as _time

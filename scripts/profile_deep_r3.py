@@ -73,6 +73,13 @@ def main():
         print(f"sssp first {k} rounds: {ms:.1f} ms "
               f"({ms / k * 1e3:.0f} us/round)")
 
+    # Queue value-carry A/B (models/sssp._make_deep_loop carry=True):
+    # trades the per-round big-array gathers for a wider 2-key merge
+    # sort. CPU: 2x SLOWER (op-bound); this measures the TPU tradeoff.
+    ms = timed(lambda: sssp_device(dgw, 0, mode="nearfar", delta=256.0,
+                                   deep_carry=True), runs=2)
+    print(f"sssp nf grid1024 deep_carry=True: {ms:.1f} ms")
+
 
 if __name__ == "__main__":
     main()

@@ -85,3 +85,27 @@ def test_sssp_deep_micro_queue(road_big):
     for mode in ("bellman", "nearfar"):
         r = sssp(g, src=0, mode=mode)
         np.testing.assert_allclose(r.distances, want, rtol=1e-5)
+
+
+def test_sssp_deep_micro_queue_value_carry(road_big, monkeypatch):
+    """Queue value-carry (GUNROCK_SSSP_CARRY=1): (dist, degree) ride the
+    micro-loop state instead of per-round big-array gathers. Must be
+    bitwise-identical to the uncarried micro loop — the carried dist is
+    exact (every improvement re-enqueues through the min-keeping merge)
+    and relaxation still routes through _winner_minimize."""
+    import dataclasses as _dc
+    import jax
+    from gunrock_tpu.models.sssp import sssp_device
+    g = _dc.replace(road_big)
+    g.random_edge_values(seed=11)
+    want = cpu_sssp(g, 0)
+    dg = gt.to_device(g, with_edge_values=True)
+    for mode in ("bellman", "nearfar"):
+        base = jax.block_until_ready(
+            sssp_device(dg, 0, mode=mode, delta=300.0))
+        got = jax.block_until_ready(
+            sssp_device(dg, 0, mode=mode, delta=300.0, deep_carry=True))
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.asarray(base[0]))
+        np.testing.assert_allclose(
+            np.asarray(got[0])[: g.num_nodes], want, rtol=1e-5)

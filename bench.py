@@ -35,6 +35,42 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
 
 
+def wait_for_backend():
+    """Bounded wait for the TPU tunnel (round-3 postmortem: BENCH_r03
+    was rc=1 because the axon backend failed to initialize during a
+    transient tunnel outage). Probe in a SUBPROCESS — a failed init in
+    this process would be cached by jax — and re-exec once it's up so
+    our own interpreter gets a clean registration. If the tunnel never
+    comes back inside the window, fall through and run on whatever
+    backend is available, honestly labelled in the output record."""
+    import subprocess
+
+    if os.environ.get("BENCH_PROBED") == "1":
+        return
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_TUNNEL_WAIT_SECS", "2400"))
+    probe = [sys.executable, "-c", "import jax; assert jax.devices()"]
+    first = True
+    while True:
+        try:
+            ok = subprocess.run(probe, timeout=120,
+                                capture_output=True).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            if first:
+                return           # backend healthy on the first probe
+            os.environ["BENCH_PROBED"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        first = False
+        if time.monotonic() >= deadline:
+            print(f"# tunnel still down after wait window; "
+                  f"falling back to available backend", file=sys.stderr)
+            return
+        print("# waiting for TPU tunnel...", file=sys.stderr)
+        time.sleep(60)
+
+
 def load_graph():
     import gunrock_tpu as gt
 
@@ -52,6 +88,7 @@ def load_graph():
 
 
 def main():
+    wait_for_backend()
     import jax
     import numpy as np
 

@@ -20,8 +20,8 @@ from typing import Any, Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-__all__ = ["LoopStats", "init_stats", "record_iteration", "capacity_ladder",
-           "dispatch_by_size", "Timer"]
+__all__ = ["LoopStats", "init_stats", "record_iteration", "reset_chunk",
+           "capacity_ladder", "dispatch_by_size", "Timer"]
 
 # Per-iteration frontier-size trace length (reference Info records
 # per-iteration queue lengths, ``util/info.cuh:684-709``).
@@ -30,8 +30,8 @@ TRACE_LEN = 2048
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["iteration", "nodes_queued", "edges_queued", "overflow",
-                 "frontier_trace"],
+    data_fields=["iteration", "nodes_queued", "edges_queued", "chunk_edges",
+                 "overflow", "frontier_trace"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +43,12 @@ class LoopStats:
     iteration: jax.Array       # () int32
     nodes_queued: jax.Array    # () float32 (display counter; exact totals
     edges_queued: jax.Array    # () float32  are recomputed host-side)
+    chunk_edges: jax.Array     # () int32 — exact edge-lane count since the
+    #                              host last reset it (reset_chunk); the
+    #                              per-chunk device-time budget compares
+    #                              against this, NOT the float display
+    #                              accumulator (which absorbs small
+    #                              increments past 2^24 cumulative lanes)
     overflow: jax.Array        # () bool — a frontier exceeded its capacity
     frontier_trace: jax.Array  # (TRACE_LEN,) int32
 
@@ -59,18 +65,32 @@ def init_stats() -> LoopStats:
         iteration=jnp.int32(0),
         nodes_queued=jnp.float32(0),
         edges_queued=jnp.float32(0),
+        chunk_edges=jnp.int32(0),
         overflow=jnp.bool_(False),
         frontier_trace=jnp.full((TRACE_LEN,), -1, jnp.int32),
     )
 
 
+def reset_chunk(stats: LoopStats) -> LoopStats:
+    """Host-side per-chunk budget reset: zero the exact chunk edge
+    counter before each chunked device call (keeps the budget compare
+    in small exact integers regardless of cumulative totals)."""
+    return dataclasses.replace(stats, chunk_edges=jnp.int32(0))
+
+
 def record_iteration(stats: LoopStats, *, frontier_len: jax.Array,
                      edges: jax.Array, overflow=None) -> LoopStats:
     slot = jnp.minimum(stats.iteration, TRACE_LEN - 1)
+    # Saturating int32 chunk accumulator: increments clip to 2^29 and the
+    # running value to 2^30, so the add can never wrap and any budget
+    # <= 2^29 still trips exactly.
+    inc = jnp.minimum(edges.astype(jnp.int32), jnp.int32(1 << 29))
     return LoopStats(
         iteration=stats.iteration + 1,
         nodes_queued=stats.nodes_queued + frontier_len.astype(jnp.float32),
         edges_queued=stats.edges_queued + edges.astype(jnp.float32),
+        chunk_edges=jnp.minimum(stats.chunk_edges + inc,
+                                jnp.int32(1 << 30)),
         overflow=stats.overflow | (jnp.bool_(False) if overflow is None
                                    else overflow),
         frontier_trace=stats.frontier_trace.at[slot].set(

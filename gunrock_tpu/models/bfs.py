@@ -404,7 +404,7 @@ def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
                              use_pallas=pallas_pull,
                              may_rebuild=direction_optimized)
     deep = (_make_deep_loop(graph, fcap, mark_preds, upto)
-            if not direction_optimized and fcap >= DEEP_CAP else None)
+            if fcap >= DEEP_CAP else None)
 
     def _general_level(state: _State, m_f):
         dispatch_size = jnp.maximum(m_f, state.n)
@@ -423,49 +423,41 @@ def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
         return (state.n > 0) & (state.stats.iteration < upto) & \
                (~state.stats.overflow)
 
-    def body(state: _State):
-        m_f = state.m_f
-        # rung must bound the frontier LENGTH too (outdeg-0 vertices can
-        # make n exceed m_f on directed graphs)
+    def _do_level(state: _State, m_f):
         dispatch_size = jnp.maximum(m_f, state.n)
-
-        if direction_optimized:
-            # Direction vote (reference per-GPU votes with do_a/do_b
-            # thresholds, bfs_enactor.cuh:852-939). Beamer's asymmetric
-            # hysteresis assumes pull cost ~ unexplored edges and push
-            # cost ~ frontier count; on TPU our pull pass is a FLAT
-            # full-edge kernel sweep (~7ms at scale 20) while push costs
-            # ~100ns per frontier-edge lane of irregular XLA ops, so the
-            # optimal decision is memoryless in m_f alone: pull iff the
-            # frontier's edge volume exceeds the break-even threshold.
-            # ``alpha`` keeps its Beamer direction (bigger = pull more).
-            # With the queue unmaterialized (fvalid=False) a push must
-            # first pay a v-scale lazy rebuild, so the pull threshold
-            # drops sharply there (pull is ~7ms flat; rebuild ~10ms).
-            thresh = jnp.where(state.fvalid,
-                               jnp.float32(graph.num_edges / 32.0),
-                               jnp.float32(graph.num_edges / 4096.0))
-            use_pull = m_f.astype(jnp.float32) * jnp.float32(alpha) > thresh
-            (labels, preds, frontier, n, m_f_next, fvalid, edges,
-             overflow) = jax.lax.cond(
-                use_pull,
-                lambda s: _pull_step(graph, fcap, mark_preds, s,
-                                     use_pallas=pallas_pull),
-                lambda s: dispatch_by_size(dispatch_size, caps, push, s),
-                state,
-            )
-        else:
-            if deep is not None:
-                # Deep-graph regime: a whole stretch of tiny levels runs
-                # in the rung-scale micro-loop; this body only sees the
-                # levels whose frontiers outgrow it.
-                return jax.lax.cond(
-                    dispatch_size <= DEEP_CAP, deep,
-                    lambda s: _general_level(s, m_f), state)
-            use_pull = state.use_pull
-            (labels, preds, frontier, n, m_f_next, fvalid, edges,
-             overflow) = dispatch_by_size(dispatch_size, caps, push, state)
-
+        # Direction vote (reference per-GPU votes with do_a/do_b
+        # thresholds, bfs_enactor.cuh:852-939,1829-1830). Beamer's
+        # asymmetric hysteresis assumes pull cost ~ unexplored edges and
+        # push cost ~ frontier count; on TPU our pull pass is a FLAT
+        # full-edge kernel sweep (~7ms at scale 20) while push costs
+        # ~100ns per frontier-edge lane of irregular XLA ops, so the
+        # pull-ENTRY decision is memoryless in m_f alone: pull iff the
+        # frontier's edge volume exceeds the break-even threshold.
+        # ``alpha`` keeps its Beamer direction (bigger = pull more).
+        # With the queue unmaterialized (fvalid=False) a push must
+        # first pay a v-scale lazy rebuild, so the pull threshold
+        # drops sharply there (pull is ~7ms flat; rebuild ~10ms).
+        # ``beta`` is the Beamer/reference do_b pull-EXIT knob: once in
+        # pull mode, stay there while the frontier is still wide
+        # (n > V/beta) even if its edge volume dips under the entry
+        # threshold — switching back early pays the queue rebuild just
+        # to switch forward again (bigger beta = leave pull sooner).
+        thresh = jnp.where(state.fvalid,
+                           jnp.float32(graph.num_edges / 32.0),
+                           jnp.float32(graph.num_edges / 4096.0))
+        vote = m_f.astype(jnp.float32) * jnp.float32(alpha) > thresh
+        sticky = state.use_pull & (
+            state.n.astype(jnp.float32) * jnp.float32(beta) >
+            jnp.float32(graph.num_nodes))
+        use_pull = vote | sticky
+        (labels, preds, frontier, n, m_f_next, fvalid, edges,
+         overflow) = jax.lax.cond(
+            use_pull,
+            lambda s: _pull_step(graph, fcap, mark_preds, s,
+                                 use_pallas=pallas_pull),
+            lambda s: dispatch_by_size(dispatch_size, caps, push, s),
+            state,
+        )
         stats = record_iteration(state.stats, frontier_len=n, edges=edges,
                                  overflow=overflow)
         return _State(
@@ -474,6 +466,48 @@ def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
             unexplored=state.unexplored - m_f.astype(jnp.float32),
             stats=stats,
         )
+
+    def _deep_entry(state: _State):
+        # Pull levels (and the single-source fast path) leave the queue
+        # unmaterialized; the micro-loop needs a real queue — rebuild it
+        # once per stretch from the label mask (v-scale, amortized over
+        # the whole stretch of tiny levels).
+        cur = state.stats.iteration
+        frontier0, n0 = jax.lax.cond(
+            state.fvalid,
+            lambda: (state.frontier, state.n),
+            lambda: frontier_from_mask(state.labels == cur, fcap),
+        )
+        st = dataclasses.replace(state, frontier=frontier0, n=n0,
+                                 fvalid=jnp.bool_(True),
+                                 use_pull=jnp.bool_(False))
+        return deep(st)
+
+    def body(state: _State):
+        m_f = state.m_f
+        # rung must bound the frontier LENGTH too (outdeg-0 vertices can
+        # make n exceed m_f on directed graphs)
+        dispatch_size = jnp.maximum(m_f, state.n)
+
+        if direction_optimized:
+            # Deep-graph regime beats the direction vote outright: at
+            # m_f <= DEEP_CAP a pull pass is a full-edge sweep for a
+            # few-thousand-edge level, and even the general push rung
+            # pays ladder/claim-table overheads — road-class graphs
+            # (the CLI default runs DO) live here almost entirely.
+            if deep is not None:
+                return jax.lax.cond(
+                    dispatch_size <= DEEP_CAP, _deep_entry,
+                    lambda s: _do_level(s, m_f), state)
+            return _do_level(state, m_f)
+        if deep is not None:
+            # Deep-graph regime: a whole stretch of tiny levels runs
+            # in the rung-scale micro-loop; this body only sees the
+            # levels whose frontiers outgrow it.
+            return jax.lax.cond(
+                dispatch_size <= DEEP_CAP, deep,
+                lambda s: _general_level(s, m_f), state)
+        return _general_level(state, m_f)
 
     out = jax.lax.while_loop(cond, body, state)
     # Single packed convergence probe: one host fetch per chunk instead

@@ -33,7 +33,7 @@ import numpy as np
 
 from ..enactor import (LoopStats, capacity_ladder, dispatch_by_size,
                        i32_clip as _i32, init_stats, record_iteration,
-                       Timer)
+                       reset_chunk, Timer)
 from ..graph.csr import CsrGraph
 from ..graph.device import DeviceGraph, to_device
 from ..ops.advance import expand
@@ -246,7 +246,7 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
     def micro_cond(st: _State):
         return (st.n > 0) & (st.n <= C) & (st.m_f <= C) & \
                (st.stats.iteration < upto) & \
-               (st.stats.edges_queued < upto_edges) & \
+               (st.stats.chunk_edges < upto_edges) & \
                (~st.stats.overflow)
 
     def micro_body(st: _State):
@@ -254,24 +254,7 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
         valid = lane < st.n
         q = jnp.where(valid, q, graph.v_pad - 1)
         dq = jnp.take(st.dist, q, indices_are_sorted=True)
-        if nearfar:
-            near = valid & (dq < st.level)
-            any_near = jnp.any(near)
-            # Near bucket empty: one-shot Bisect — jump the threshold
-            # just past the cheapest queued tentative distance.
-            min_dq = jnp.min(jnp.where(valid, dq, INF))
-            k = jnp.maximum(
-                jnp.floor((min_dq - st.level) / delta) + 1.0, 1.0)
-            jumped = st.level + k * delta
-            # float32 guard: the jumped threshold must clear min_dq
-            # STRICTLY (near uses dq < level) or the micro loop spins on
-            # an empty near bucket until the chunk budget drains.
-            jumped = jnp.where(jumped > min_dq, jumped,
-                               jnp.nextafter(min_dq, INF))
-            level = jnp.where(any_near, st.level, jumped)
-        else:
-            near = valid
-            level = st.level
+        near, level = _split_near(st, dq, valid)
 
         # Relax the near subset (C-scale; a no-op round when empty).
         nq, nn = compact(q, near, C, fill=graph.v_pad - 1)
@@ -300,7 +283,12 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
 
     def _split_near(st, dq, valid):
         """Near/far split + one-shot Bisect on the rung-scale dist
-        vector (shared by both micro bodies)."""
+        vector (shared by BOTH micro bodies — the modes must stay
+        bitwise-identical). When the near bucket is empty the threshold
+        jumps just past the cheapest queued tentative distance; the
+        float32 guard makes the jump clear ``min_dq`` STRICTLY (near
+        uses ``dq < level``) or the micro loop would spin on an empty
+        near bucket until the chunk budget drains."""
         if not nearfar:
             return valid, st.level
         near = valid & (dq < st.level)
@@ -470,7 +458,9 @@ def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
                pallas: bool = False, init: bool = False,
                deep_carry: bool = False):
     """Run relaxation rounds until convergence, ``upto`` iterations, or
-    ``upto_edges`` cumulative relaxed edge-lanes.
+    ``upto_edges`` relaxed edge-lanes THIS CHUNK (the host resets the
+    exact int32 ``stats.chunk_edges`` counter before every chunk call, so
+    the budget compare never degrades from float accumulation).
 
     Both bounds exist so the host can enact in chunks (one compiled
     while_loop per chunk) — long traversals otherwise exceed device
@@ -494,7 +484,7 @@ def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
 
     def cond(state: _State):
         return (state.n > 0) & (state.stats.iteration < upto) & \
-               (state.stats.edges_queued < upto_edges) & \
+               (state.stats.chunk_edges < upto_edges) & \
                (~state.stats.overflow)
 
     def general(state: _State):
@@ -604,12 +594,12 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
     # Per-chunk edge-lane budget: bounds device time per call well under
     # execution watchdogs (a round costs ~its edge count; a full pull
     # charges num_edges).
-    chunk_edges = float(min(4 * max(graph.e_pad, 1), 1 << 29))
+    chunk_edges = int(min(4 * max(graph.e_pad, 1), 1 << 29))
     if instrument is not None:
         chunk_iters = 1
-    def chunk(st, upto, edge_hi, first):
+    def chunk(st, upto, first):
         return _sssp_jit(graph, st, jnp.int32(upto), jnp.float32(delta),
-                         jnp.float32(edge_hi),
+                         jnp.int32(chunk_edges),
                          fcap=fcap, caps=caps, mode=mode,
                          pallas=use_pallas, init=first,
                          deep_carry=deep_carry)
@@ -618,7 +608,7 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
     import time as _time
     t0 = _time.perf_counter()
     upto = min(chunk_iters, max_iters)
-    state, probe = chunk(jnp.int32(src), upto, chunk_edges, True)
+    state, probe = chunk(jnp.int32(src), upto, True)
     while True:
         it, ovf, n = (int(x) for x in np.asarray(probe))
         if instrument is not None:
@@ -630,8 +620,9 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
         if ovf or n == 0 or it >= max_iters:
             break
         upto = min(it + chunk_iters, max_iters)
-        edge_hi = float(np.asarray(state.stats.edges_queued)) + chunk_edges
-        state, probe = chunk(state, upto, edge_hi, False)
+        state = dataclasses.replace(state,
+                                    stats=reset_chunk(state.stats))
+        state, probe = chunk(state, upto, False)
     preds = jnp.zeros((1,), jnp.int32)
     if mark_preds:
         preds = jax.jit(_fill_preds)(graph, state.dist)

@@ -37,7 +37,7 @@ from ..models.wtf import COT_SIZE
 from ..ops.segment import row_reduce_sorted
 from ..utils.info import make_info
 from .comm import ghost_exchange
-from .mesh import AXIS, make_mesh
+from .mesh import AXIS, make_mesh, pvary
 from .partition import PartitionedGraph, partition
 
 __all__ = ["wtf_sharded", "ShardedWtfResult"]
@@ -144,7 +144,10 @@ def _make_wtf_fn(pg: PartitionedGraph, *, axis: str, mesh: Mesh,
         # ---- phase 3: personalized SALSA over CoT out-edges
         # (wtf_enactor.cuh:350-365); cot_f masks edge sources.
         rank0 = is_src.astype(jnp.float32)
-        ref0 = jax.lax.pvary(jnp.zeros((S,), jnp.float32), (axis,))
+        # mesh.pvary shim, not jax.lax.pvary directly: survives the
+        # pvary/pcast API churn across jax versions like every other
+        # sharded primitive.
+        ref0 = pvary(jnp.zeros((S,), jnp.float32), axis)
 
         def s_body(i, carry):
             rank, _ = carry

@@ -128,6 +128,42 @@ def _winner_minimize(dist, dst, cand, mask, v_pad: int):
     return scatter_set(dist, sd, sc, mask=win), sd, win, sc
 
 
+def _winner_minimize_fused(dist, dst, cand, mask, v_pad: int,
+                           out_lanes: int):
+    """Fused-kernel winner resolution — option (c) of the round-2 design
+    sketch (``doc/perf_notes.md`` "dst-bucketed two-pass kernel"): after
+    ONE sort by destination, the Pallas destination-reduction kernel
+    (:func:`gunrock_tpu.ops.pallas_kernels.reduce_by_dst_sorted`) emits
+    one compacted ``(id, min)`` pair per DISTINCT destination, so the
+    improvement test, the dist update and the next-queue compaction all
+    run at distinct-destination (<= vertex) scale instead of edge scale.
+    Same role as the reference's fused atomicMin advance
+    (``sssp_functor.cuh:59-99``); bitwise-identical dist/winners to
+    :func:`_winner_minimize`. Returns ``(dist', ids, vals, win)`` with
+    ``ids/vals/win`` at ``out_lanes`` scale (ids ascending; ``win`` =
+    strictly-improving heads, the next frontier)."""
+    from ..ops.pallas_kernels import reduce_by_dst_sorted
+    cand = jnp.where(mask, cand, INF)
+    dstm = jnp.where(mask, dst, v_pad - 1)
+    sd, sc = jax.lax.sort((dstm, cand), num_keys=1)
+    cids, cvals, n_heads = reduce_by_dst_sorted(sd, sc, op="min",
+                                                out_lanes=out_lanes)
+    # n_heads <= #distinct dsts <= min(cap, v_pad) == out_lanes: the
+    # kernel's append window cannot overflow by construction.
+    lane = jnp.arange(out_lanes, dtype=jnp.int32)
+    hvalid = lane < n_heads
+    ids_s = jnp.where(hvalid, cids, v_pad)      # ascending; OOB tail drops
+    vals_s = jnp.where(hvalid, cvals, INF)
+    d_old = jnp.take(dist, jnp.where(hvalid, cids, v_pad - 1),
+                     indices_are_sorted=True)
+    win = hvalid & (vals_s < d_old)
+    # Non-improving heads scatter-min as no-ops; keeping them in the
+    # index stream preserves the sorted-indices fast path.
+    dist2 = dist.at[ids_s].min(vals_s, mode="drop",
+                               indices_are_sorted=True)
+    return dist2, cids, cvals, win
+
+
 def _bisect(dist, delta, level, near, active):
     """Near-far threshold advance (priority_queue Bisect,
     ``near_far_pile.cuh:35-60``): while the near bucket is empty and the
@@ -148,7 +184,7 @@ def _bisect(dist, delta, level, near, active):
 
 
 def _relax(graph: DeviceGraph, state: _State, cap: int, fcap: int,
-           use_pallas: bool):
+           use_pallas: bool, fused: bool = False):
     """One push relaxation round over the frontier queue — every
     operation is LANE-scale (proportional to the frontier's edge count),
     no vertex-scale passes:
@@ -159,7 +195,9 @@ def _relax(graph: DeviceGraph, state: _State, cap: int, fcap: int,
       3. winner resolution: sort lanes by (dst, cand) — the run head
          holds each destination's min — replacing the reference's
          atomicMin race (sssp_functor.cuh:59-99) with a deterministic
-         sort + head-select
+         sort + head-select. With ``fused`` the post-sort work collapses
+         into the Pallas destination-reduction kernel and everything
+         after the sort runs at distinct-destination scale.
       4. scatter the improving winners; they are the (already sorted)
          next frontier.
     """
@@ -171,10 +209,17 @@ def _relax(graph: DeviceGraph, state: _State, cap: int, fcap: int,
     ex = expand(graph, frontier, n0, cap, sorted_frontier=True,
                 with_dst=False)
     dst, w, dsrc = _relax_payload(graph, state.dist, ex, use_pallas)
-    dist, sd, win, _ = _winner_minimize(state.dist, dst, dsrc + w,
-                                        ex.mask, graph.v_pad)
-    # Winners are sorted by construction -> next queue needs no re-sort.
-    nf, n_next = compact(sd, win, fcap, fill=graph.v_pad - 1)
+    if fused:
+        dist, cids, _, win = _winner_minimize_fused(
+            state.dist, dst, dsrc + w, ex.mask, graph.v_pad,
+            min(cap, graph.v_pad))
+        nf, n_next = compact(cids, win, fcap, fill=graph.v_pad - 1)
+    else:
+        dist, sd, win, _ = _winner_minimize(state.dist, dst, dsrc + w,
+                                            ex.mask, graph.v_pad)
+        # Winners are sorted by construction -> next queue needs no
+        # re-sort.
+        nf, n_next = compact(sd, win, fcap, fill=graph.v_pad - 1)
     m_next = _i32(_laddered_mf(graph, nf, n_next, fcap))
     overflow = (ex.total > cap) | ovf | (n_next > fcap)
     return (dist, nf, _i32(n_next), m_next, ex.total, overflow)
@@ -406,13 +451,13 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
     return run
 
 
-def _make_bellman_branch(graph, fcap, use_pallas):
+def _make_bellman_branch(graph, fcap, use_pallas, fused=False):
     def make(cap):
         def step(state: _State):
             if use_pallas and cap is None:
                 out = _pull_relax(graph, state, fcap)
             else:
-                out = _relax(graph, state, cap, fcap, use_pallas)
+                out = _relax(graph, state, cap, fcap, use_pallas, fused)
             dist, nf, n, m_f, edges, overflow = out
             return dist, nf, n, m_f, state.active, state.level, \
                 edges, overflow
@@ -420,7 +465,7 @@ def _make_bellman_branch(graph, fcap, use_pallas):
     return make
 
 
-def _make_nearfar_branch(graph, fcap, delta, use_pallas):
+def _make_nearfar_branch(graph, fcap, delta, use_pallas, fused=False):
     deg = graph.row_offsets[1:] - graph.row_offsets[:-1]
 
     def make(cap):
@@ -428,7 +473,7 @@ def _make_nearfar_branch(graph, fcap, delta, use_pallas):
             if use_pallas and cap is None:
                 out = _pull_relax(graph, state, fcap)
             else:
-                out = _relax(graph, state, cap, fcap, use_pallas)
+                out = _relax(graph, state, cap, fcap, use_pallas, fused)
             dist, nf, n_imp, _, edges, overflow = out
             # Improved vertices enter the pile; the near bucket (below
             # the current threshold) becomes the next frontier
@@ -456,7 +501,7 @@ def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
                delta: jax.Array, upto_edges: jax.Array, *,
                fcap: int, caps: tuple[int, ...], mode: str,
                pallas: bool = False, init: bool = False,
-               deep_carry: bool = False):
+               deep_carry: bool = False, fused: bool = False):
     """Run relaxation rounds until convergence, ``upto`` iterations, or
     ``upto_edges`` relaxed edge-lanes THIS CHUNK (the host resets the
     exact int32 ``stats.chunk_edges`` counter before every chunk call, so
@@ -475,9 +520,9 @@ def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
     use_pull = pallas and graph.has_blocked_values
 
     if mode == "nearfar":
-        branch = _make_nearfar_branch(graph, fcap, delta, pallas)
+        branch = _make_nearfar_branch(graph, fcap, delta, pallas, fused)
     else:
-        branch = _make_bellman_branch(graph, fcap, pallas)
+        branch = _make_bellman_branch(graph, fcap, pallas, fused)
     deep = (_make_deep_loop(graph, fcap, delta, mode, upto, upto_edges,
                             pallas=pallas, carry=deep_carry)
             if fcap >= 2 * DEEP_CAP else None)
@@ -559,7 +604,7 @@ _sssp_jit = jax.jit(
     _sssp_loop,
     # delta stays dynamic (a traced f32): sweeping it must not recompile.
     static_argnames=("fcap", "caps", "mode", "pallas", "init",
-                     "deep_carry"),
+                     "deep_carry", "fused"),
 )
 _fill_preds_jit = None  # jitted lazily below
 
@@ -570,13 +615,17 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
                 max_iters: Optional[int] = None,
                 chunk_iters: Optional[int] = None,
                 instrument: Optional[list] = None,
-                deep_carry: Optional[bool] = None):
+                deep_carry: Optional[bool] = None,
+                fused: Optional[bool] = None):
     """``instrument``: pass a list to enact one round per device call and
     collect per-round wall-clock records (reference ``--instrumented``
     kernel stats, ``util/kernel_runtime_stats.cuh``); adds per-call
     dispatch overhead, exactly like the reference's instrumented runs.
     ``deep_carry`` enables queue value-carry in the deep micro-loop
-    (defaults to the GUNROCK_SSSP_CARRY env var; see _make_deep_loop)."""
+    (defaults to the GUNROCK_SSSP_CARRY env var; see _make_deep_loop).
+    ``fused`` routes general-round winner resolution through the Pallas
+    destination-reduction kernel (defaults to ON on TPU; override with
+    GUNROCK_SSSP_FUSED=0 — the auto-measure A/Bs it on hardware)."""
     if deep_carry is None:
         deep_carry = os.environ.get("GUNROCK_SSSP_CARRY", "0") == "1"
     if not graph.has_edge_values:
@@ -587,6 +636,9 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
     if max_iters is None:
         max_iters = 4 * graph.num_nodes + 16
     use_pallas = jax.default_backend() == "tpu"
+    if fused is None:
+        fused = use_pallas and \
+            os.environ.get("GUNROCK_SSSP_FUSED", "1") == "1"
     if chunk_iters is None:
         # Many micro rounds per chunk are fine (each is DEEP_CAP-scale);
         # the edge budget below is what bounds big rounds.
@@ -602,7 +654,7 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
                          jnp.int32(chunk_edges),
                          fcap=fcap, caps=caps, mode=mode,
                          pallas=use_pallas, init=first,
-                         deep_carry=deep_carry)
+                         deep_carry=deep_carry, fused=fused)
 
     # Chunked enactment (see bfs_device).
     import time as _time

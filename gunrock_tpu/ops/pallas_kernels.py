@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["bitmask_gather", "bitmask_gather_cumsum", "blocked_pull_or",
            "pack_bitmask", "words_for", "sample_sorted", "sample_sorted2",
-           "pull_vertex_reduce", "pad_values_table"]
+           "pull_vertex_reduce", "pad_values_table", "reduce_by_dst_sorted"]
 
 LANE = 128
 DEFAULT_BLOCK_ROWS = 512          # 64K indices per grid step
@@ -893,3 +893,227 @@ def bitmask_gather_cumsum(words: jax.Array, idx: jax.Array, *,
     out = _bitmask_gather_cumsum_2d(words, idx2d, block_rows=br,
                                     interpret=interpret)
     return out[:m].reshape(n)
+
+
+# --------------------------------------------------------------------------
+# Fused destination reduction over a dst-SORTED candidate stream: segmented
+# min/sum scan + run-tail detection + in-kernel stream compaction (staged
+# binary router) + append-DMA of the compacted (dst, value) winner pairs.
+#
+# This is the TPU re-shape of the reference's fused atomicMin/atomicAdd
+# advance (gunrock/app/sssp/sssp_functor.cuh:59-99 relax, bc_functor.cuh:
+# 70-71 sigma accumulation): after one XLA sort by destination, ONE VPU
+# pass replaces the whole M-scale post-sort soup (run-head compare,
+# M-scale dist gather, M-scale masked value scatter, M-scale compaction
+# scatter). Output is at DISTINCT-DESTINATION scale (<= min(M, V)), so
+# every downstream op (improvement test, dist scatter-min, next-queue
+# compaction) runs at vertex scale even for 60M-lane advances.
+#
+# Compaction inside the kernel: lane i's target slot is p + (# tails
+# before i) (p = cross-tile partial fill); the required DOWN-shift
+# s = flat(i) - target is nondecreasing along the stream, so routing it
+# through 13 staged binary shifts (move down 2^j iff bit j of the
+# remaining shift is set, LSB first) is collision-free — verified
+# against a numpy oracle in tests. The cross-tile partial row rides the
+# same butterfly (it enters at row 0 with shift 0), so appended windows
+# stay 128-lane dense with no dynamic rolls anywhere.
+# --------------------------------------------------------------------------
+
+_RED_TILE_ROWS = 32            # stream lanes per grid step = 4096
+_RED_WORK_ROWS = 40            # partial row + 32 data rows + roll pad
+_RED_WIN_ROWS = 33             # HBM append window rows (static DMA size)
+_RED_SENT = 0x7FFFFFFF               # id-space sentinel (plain int: jnp
+                                     # constants would be captured consts)
+
+
+def _flat_shift_down(x: jax.Array, step: int) -> jax.Array:
+    """y[flat l] = x[flat l + step] over a row-major (R, 128) tile
+    (junk ripples in at the tail; callers gate on the id sentinel)."""
+    rows = x.shape[0]
+    if step % LANE == 0:
+        return pltpu.roll(x, rows - step // LANE, 0)
+    a = pltpu.roll(x, LANE - step, 1)          # a[r,l] = x[r,(l+step)%128]
+    b = pltpu.roll(a, rows - 1, 0)             # b[r,l] = a[r+1,l]
+    lanepos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lanepos < LANE - step, a, b)
+
+
+def _reduce_sorted_kernel(op: str, out_rows: int,
+                          sd_ref, sn_ref, sc_ref,
+                          oid_ref, oval_ref, cnt_ref,
+                          wid, wval, pid, pval, smi, smf, sems):
+    k = pl.program_id(0)
+    identity = jnp.float32(jnp.inf if op == "min" else 0.0)
+
+    @pl.when(k == 0)
+    def _():
+        smi[0, 0] = -1                 # ckey: no vertex id is -1
+        smi[0, 1] = 0                  # off_row: next append row
+        smi[0, 2] = 0                  # p: partial-row fill level
+        smi[0, 3] = 0                  # total winner lanes emitted
+        smf[0, 0] = identity           # cval: running reduction carry
+        pid[0:1, :] = jnp.full((1, LANE), _RED_SENT, jnp.int32)
+        pval[0:1, :] = jnp.full((1, LANE), identity, jnp.float32)
+
+    sd = sd_ref[...]                   # (32,128) sorted destination ids
+    sn = sn_ref[...]                   # sd shifted one lane (next id)
+    sc = sc_ref[...]                   # candidate values
+    shape = sd.shape
+
+    # Carry splice: the leading run may continue the previous tile's run.
+    ckey = smi[0, 0]
+    cval = smf[0, 0]
+    if op == "min":
+        sc = jnp.where(sd == ckey, jnp.minimum(sc, cval), sc)
+    else:
+        rowpos = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lanepos = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        first = (rowpos == 0) & (lanepos == 0) & (sd == ckey)
+        sc = jnp.where(first, sc + cval, sc)
+    scan = _seg_scan_val(sc, sd, op)
+    smf[0, 0] = scan[_RED_TILE_ROWS - 1, LANE - 1]
+    smi[0, 0] = sd[_RED_TILE_ROWS - 1, LANE - 1]
+
+    tails = sd != sn                   # last lane of each GLOBAL run
+    # Target slot (within the appended stream segment starting at the
+    # current partial fill p) and the down-shift for the router.
+    p = smi[0, 2]
+    tl = tails.astype(jnp.int32)
+    t = p + _block_cumsum_rowmajor(tl) - tl        # exclusive rank + p
+    lanepos = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    rowpos = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    flat = (rowpos + 1) * LANE + lanepos           # data starts at row 1
+    s_data = jnp.where(tails, flat - t, 0)
+    k_count = jnp.sum(tl)
+
+    # Wait for the previous append before touching the staging tile.
+    @pl.when(k > 0)
+    def _():
+        pltpu.make_async_copy(
+            wid.at[pl.ds(0, _RED_WIN_ROWS)],
+            oid_ref.at[pl.ds(0, _RED_WIN_ROWS)], sems.at[0]).wait()
+        pltpu.make_async_copy(
+            wval.at[pl.ds(0, _RED_WIN_ROWS)],
+            oval_ref.at[pl.ds(0, _RED_WIN_ROWS)], sems.at[1]).wait()
+
+    # Assemble the working tile: row 0 = partial, rows 1..32 = this
+    # tile's tails (others SENT), rest = SENT pad.
+    wid[0:1, :] = pid[...]
+    wval[0:1, :] = pval[...]
+    wid[1:1 + _RED_TILE_ROWS, :] = jnp.where(tails, sd, _RED_SENT)
+    wval[1:1 + _RED_TILE_ROWS, :] = scan
+    wid[1 + _RED_TILE_ROWS:, :] = jnp.full(
+        (_RED_WORK_ROWS - 1 - _RED_TILE_ROWS, LANE), _RED_SENT, jnp.int32)
+
+    ids = wid[...]
+    vals = wval[...]
+    svec = jnp.concatenate(
+        [jnp.zeros((1, LANE), jnp.int32), s_data,
+         jnp.zeros((_RED_WORK_ROWS - 1 - _RED_TILE_ROWS, LANE),
+                   jnp.int32)])
+
+    # Staged binary router, LSB first (collision-free for the
+    # nondecreasing shifts of a monotone compaction).
+    for j in range(13):                           # shifts < 40*128 = 5120
+        step = 1 << j
+        up_id = _flat_shift_down(ids, step)
+        up_s = _flat_shift_down(svec, step)
+        up_val = _flat_shift_down(vals, step)
+        take = (up_id != _RED_SENT) & (((up_s >> j) & 1) == 1)
+        keep = (ids != _RED_SENT) & (((svec >> j) & 1) == 0)
+        ids = jnp.where(take, up_id, jnp.where(keep, ids, _RED_SENT))
+        svec = jnp.where(take, up_s - step, svec)
+        vals = jnp.where(take, up_val, vals)
+
+    wid[...] = ids
+    wval[...] = vals
+
+    # New fill level and the rows completed this step.
+    kt = p + k_count
+    full_rows = kt >> 7
+    newp = kt & (LANE - 1)
+    # Save the new partial row (row `full_rows` of the compacted tile).
+    prow_id = wid[pl.ds(full_rows, 1), :]
+    prow_val = wval[pl.ds(full_rows, 1), :]
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    pid[...] = jnp.where(lane1 < newp, prow_id, _RED_SENT)
+    pval[...] = jnp.where(lane1 < newp, prow_val, identity)
+
+    off = smi[0, 1]
+    off_w = jnp.minimum(off, out_rows - _RED_WIN_ROWS)   # overflow clamp
+    pltpu.make_async_copy(wid.at[pl.ds(0, _RED_WIN_ROWS)],
+                          oid_ref.at[pl.ds(off_w, _RED_WIN_ROWS)],
+                          sems.at[0]).start()
+    pltpu.make_async_copy(wval.at[pl.ds(0, _RED_WIN_ROWS)],
+                          oval_ref.at[pl.ds(off_w, _RED_WIN_ROWS)],
+                          sems.at[1]).start()
+    smi[0, 1] = off + full_rows
+    smi[0, 2] = newp
+    smi[0, 3] = smi[0, 3] + k_count
+    cnt_ref[0, 0] = smi[0, 3]
+
+    @pl.when(k == pl.num_programs(0) - 1)
+    def _():
+        pltpu.make_async_copy(
+            wid.at[pl.ds(0, _RED_WIN_ROWS)],
+            oid_ref.at[pl.ds(0, _RED_WIN_ROWS)], sems.at[0]).wait()
+        pltpu.make_async_copy(
+            wval.at[pl.ds(0, _RED_WIN_ROWS)],
+            oval_ref.at[pl.ds(0, _RED_WIN_ROWS)], sems.at[1]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("op", "out_rows", "interpret"))
+def _reduce_sorted_2d(sd2d, sn2d, sc2d, *, op: str, out_rows: int,
+                      interpret: bool):
+    m = sd2d.shape[0]
+    kernel = functools.partial(_reduce_sorted_kernel, op, out_rows)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // _RED_TILE_ROWS,),
+        in_specs=[pl.BlockSpec((_RED_TILE_ROWS, LANE), lambda k: (k, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((out_rows, LANE), jnp.int32),
+                   jax.ShapeDtypeStruct((out_rows, LANE), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((_RED_WORK_ROWS, LANE), jnp.int32),
+                        pltpu.VMEM((_RED_WORK_ROWS, LANE), jnp.float32),
+                        pltpu.VMEM((1, LANE), jnp.int32),
+                        pltpu.VMEM((1, LANE), jnp.float32),
+                        pltpu.SMEM((1, 4), jnp.int32),
+                        pltpu.SMEM((1, 1), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(sd2d, sn2d, sc2d)
+
+
+def reduce_by_dst_sorted(sd: jax.Array, vals: jax.Array, *, op: str = "min",
+                         out_lanes: int, interpret: bool = False):
+    """Reduce ``vals`` by runs of equal (sorted, nondecreasing) ``sd``.
+
+    Returns ``(ids, rvals, count)``: one lane per DISTINCT ``sd`` value —
+    its id and the min/sum of its candidates — compacted (ascending ids)
+    into ``out_lanes`` lanes; lanes >= ``count`` are garbage (callers
+    mask). ``count > out_lanes`` signals overflow (appends were clamped;
+    treat like a failed ``Check_Size``). The stream pads (to a tile
+    multiple) by extending the final run with identity values.
+    """
+    m = sd.shape[0]
+    tile = _RED_TILE_ROWS * LANE
+    m_pad = max(-(-m // tile) * tile, tile)
+    identity = jnp.float32(jnp.inf if op == "min" else 0.0)
+    if m_pad != m:
+        sd = jnp.concatenate([sd, jnp.broadcast_to(sd[-1:], (m_pad - m,))])
+        vals = jnp.concatenate(
+            [vals, jnp.full((m_pad - m,), identity, vals.dtype)])
+    sn = jnp.concatenate([sd[1:], jnp.full((1,), 2**31 - 1, jnp.int32)])
+    out_rows = -(-out_lanes // LANE) + _RED_WIN_ROWS
+    out_rows = ((out_rows + 7) // 8) * 8
+    ids2d, vals2d, cnt = _reduce_sorted_2d(
+        sd.reshape(-1, LANE), sn.reshape(-1, LANE),
+        vals.astype(jnp.float32).reshape(-1, LANE),
+        op=op, out_rows=out_rows, interpret=interpret)
+    return (ids2d.reshape(-1)[:out_lanes], vals2d.reshape(-1)[:out_lanes],
+            cnt[0, 0])

@@ -260,3 +260,87 @@ def test_sample_sorted_expand_tail_contract(rmat_small):
     want = np.asarray(dg.col_indices)[np.asarray(ex.eid)]
     m = np.asarray(ex.mask)
     np.testing.assert_array_equal(np.asarray(got)[m], want[m])
+
+
+@pytest.mark.parametrize("m,nv,op", [(5000, 300, "min"), (9000, 2000, "sum"),
+                                     (20000, 6000, "sum"),
+                                     (12288, 12288, "min")])
+def test_reduce_by_dst_sorted_interpret(m, nv, op):
+    """Fused destination reduction == numpy group-by oracle (distinct-id
+    compaction, cross-tile runs, exact min / float sum)."""
+    from gunrock_tpu.ops.pallas_kernels import reduce_by_dst_sorted
+    rng = np.random.default_rng(m + nv)
+    sd = np.sort(rng.integers(0, nv, m).astype(np.int32))
+    vals = rng.random(m).astype(np.float32) * 10
+    ids_u = np.unique(sd)
+    if op == "min":
+        want = np.array([vals[sd == i].min() for i in ids_u])
+    else:
+        want = np.array([vals[sd == i].sum(dtype=np.float32)
+                         for i in ids_u])
+    ids, rv, cnt = reduce_by_dst_sorted(
+        jnp.asarray(sd), jnp.asarray(vals), op=op,
+        out_lanes=len(ids_u) + 200, interpret=True)
+    assert int(cnt) == len(ids_u)
+    np.testing.assert_array_equal(np.asarray(ids)[:len(ids_u)], ids_u)
+    if op == "min":
+        np.testing.assert_array_equal(np.asarray(rv)[:len(ids_u)], want)
+    else:
+        np.testing.assert_allclose(np.asarray(rv)[:len(ids_u)], want,
+                                   rtol=1e-5)
+
+
+def test_reduce_by_dst_sorted_overflow_and_giant_run():
+    from gunrock_tpu.ops.pallas_kernels import reduce_by_dst_sorted
+    rng = np.random.default_rng(7)
+    # one run spanning many tiles
+    vals = rng.random(40960).astype(np.float32)
+    ids, rv, cnt = reduce_by_dst_sorted(
+        jnp.zeros(40960, jnp.int32), jnp.asarray(vals), op="min",
+        out_lanes=256, interpret=True)
+    assert int(cnt) == 1 and float(rv[0]) == vals.min()
+    # overflow: count signals it, appends clamp, no crash
+    sd = np.sort(rng.integers(0, 30000, 65536).astype(np.int32))
+    ids, rv, cnt = reduce_by_dst_sorted(
+        jnp.asarray(sd), jnp.asarray(rng.random(65536).astype(np.float32)),
+        op="min", out_lanes=1000, interpret=True)
+    assert int(cnt) == len(np.unique(sd)) > 1000
+
+
+def test_sssp_fused_relax_matches_xla(rmat_small):
+    """The fused-kernel relax round (sort + Pallas destination reduction
+    + vertex-scale finish) is bitwise-identical to the XLA winner path."""
+    import gunrock_tpu as gt
+    import gunrock_tpu.ops.pallas_kernels as pk
+    from gunrock_tpu.models.sssp import _relax, _State
+    from gunrock_tpu.enactor import init_stats
+
+    rmat_small.random_edge_values(seed=4)
+    dg = gt.to_device(rmat_small, with_edge_values=True)
+    src = rmat_small.largest_degree_vertex()
+    dist = jnp.full((dg.v_pad,), jnp.inf, jnp.float32).at[src].set(0.0)
+    frontier = jnp.full((dg.v_pad,), dg.v_pad - 1,
+                        jnp.int32).at[0].set(src)
+    st = _State(dist=dist, frontier=frontier, n=jnp.int32(1),
+                m_f=jnp.int32(0), active=jnp.zeros((dg.v_pad,), bool),
+                level=jnp.float32(0.0), stats=init_stats())
+
+    orig = pk._reduce_sorted_2d
+    pk._reduce_sorted_2d = lambda *a, **kw: orig(
+        *a, **{**kw, "interpret": True})
+    try:
+        # two rounds: seed frontier, then the broad second frontier
+        for _ in range(2):
+            ref = _relax(dg, st, dg.e_pad, dg.v_pad, False, fused=False)
+            got = _relax(dg, st, dg.e_pad, dg.v_pad, False, fused=True)
+            np.testing.assert_array_equal(np.asarray(got[0]),
+                                          np.asarray(ref[0]))  # dist
+            np.testing.assert_array_equal(np.asarray(got[1]),
+                                          np.asarray(ref[1]))  # queue
+            assert int(got[2]) == int(ref[2])                  # n
+            assert int(got[3]) == int(ref[3])                  # m_f
+            import dataclasses as dc
+            st = dc.replace(st, dist=ref[0], frontier=ref[1], n=ref[2],
+                            m_f=ref[3])
+    finally:
+        pk._reduce_sorted_2d = orig

@@ -95,6 +95,57 @@ def _make_forward_branch(graph: DeviceGraph, fcap: int):
     return make
 
 
+def _make_forward_branch_fused(graph: DeviceGraph, fcap: int,
+                               use_pallas: bool):
+    """Fused forward level (the SSSP `_relax` shape applied to Brandes):
+    expand gather-free over the SORTED frontier, stream dst / source
+    sigma through the Pallas samplers, then ONE (dst, contribution) sort
+    + the destination-reduction kernel (op=sum) produce per-new-vertex
+    sigma totals at distinct-destination scale — replacing the cap-scale
+    claim-dedup + two label gathers + sigma scatter-add of the plain
+    branch (the reference's atomicAdd functor, ``bc_functor.cuh:70-71``).
+    Winners come out ascending, so the next frontier stays sorted."""
+    from ..ops.pallas_kernels import reduce_by_dst_sorted
+
+    def make(cap: int):
+        out_lanes = min(cap, graph.v_pad) + 128
+
+        def step(state: _FwdState):
+            depth = state.stats.iteration + 1
+            ex = expand(graph, state.frontier, state.n, cap,
+                        sorted_frontier=True, with_dst=False,
+                        with_src=True)
+            if use_pallas:
+                from ..ops.pallas_kernels import sample_sorted
+                dst = sample_sorted(graph.col_indices, ex.eid)
+                sig_src = sample_sorted(state.sigma, ex.src)
+            else:
+                dst = jnp.take(graph.col_indices, ex.eid,
+                               indices_are_sorted=True)
+                sig_src = jnp.take(state.sigma, ex.src,
+                                   indices_are_sorted=True)
+            # Old (label < depth) destinations still join the sort; their
+            # sums are discarded by the vertex-scale label check below —
+            # cheaper than a cap-scale unsorted label gather here.
+            dstm = jnp.where(ex.mask, dst, graph.v_pad)
+            sd, sc = jax.lax.sort(
+                (dstm, jnp.where(ex.mask, sig_src, 0.0)), num_keys=1)
+            cids, csum, n_heads = reduce_by_dst_sorted(
+                sd, sc, op="sum", out_lanes=out_lanes)
+            lane = jnp.arange(out_lanes, dtype=jnp.int32)
+            hvalid = (lane < n_heads) & (cids < graph.v_pad)
+            ids_c = jnp.where(hvalid, cids, graph.v_pad - 1)
+            new = hvalid & (jnp.take(state.labels, ids_c) == -1)
+            ids_s = jnp.where(new, cids, graph.v_pad)
+            labels = state.labels.at[ids_s].set(depth, mode="drop")
+            sigma = state.sigma.at[ids_s].set(
+                jnp.where(new, csum, 0.0), mode="drop")
+            frontier, n = compact(cids, new, fcap)
+            return labels, sigma, frontier, n, ex.total, ex.total > cap
+        return step
+    return make
+
+
 # ---------------------------------------------------------------------------
 # Shared per-level pull passes (one blocked value-kernel pass each).
 # Both the hybrid loop and the instrumented all-pull path route through
@@ -124,12 +175,15 @@ def _bwd_level_pull(graph, labels, sigma, delta, t, interpret: bool = False):
 
 
 def _make_fwd_step(graph: DeviceGraph, fcap: int, caps, pallas: bool,
-                   interpret: bool):
+                   interpret: bool, fused: bool = False):
     """One forward level: ladder push, or (pallas) one pull pass for big
     levels. Pull wins once a level's push lanes (~100ns each: claim-dedup
-    + scatter-add) outweigh one ~2ns/edge full pass — threshold E/32."""
+    + scatter-add) outweigh one ~2ns/edge full pass — threshold E/32.
+    ``fused`` swaps the push ladder for the sorted-stream destination-
+    reduction shape (``_make_forward_branch_fused``)."""
     from ..ops.segment import frontier_from_mask
-    fwd = _make_forward_branch(graph, fcap)
+    fwd = _make_forward_branch_fused(graph, fcap, pallas) if fused \
+        else _make_forward_branch(graph, fcap)
     pull_threshold = jnp.int32(max(1, min(graph.num_edges // 32, 2**30)))
     edges_i32 = jnp.int32(min(graph.num_edges, 2**31 - 1))
 
@@ -182,13 +236,18 @@ def _level_replay(labels, v_pad: int, fcap: int):
 
 def _make_bwd_step(graph: DeviceGraph, labels, sigma, order_padded,
                    offsets, fcap: int, caps, pallas: bool,
-                   interpret: bool):
+                   interpret: bool, fused: bool = False):
     """One backward level over (delta, t): ladder push from the level-t
-    ring, or (pallas) one pull pass when the ring is big."""
+    ring, or (pallas) one pull pass when the ring is big. ``fused``
+    replaces the cap-scale delta scatter-add with the destination-
+    reduction kernel keyed by the level ring's ALREADY-SORTED sources
+    (no sort needed: ``order_padded`` is ascending within a level), then
+    one vertex-scale add — ``delta[u] = sigma[u] * sum (1+delta_v)/
+    sigma_v`` with the sigma[u] factor applied at winner scale."""
     pull_threshold = jnp.int32(max(1, min(graph.num_edges // 32, 2**30)))
     edges_i32 = jnp.int32(min(graph.num_edges, 2**31 - 1))
 
-    def make_back(cap: int):
+    def make_back_plain(cap: int):
         def bstep(args):
             delta, t = args
             start = offsets[t]
@@ -204,6 +263,45 @@ def _make_bwd_step(graph: DeviceGraph, labels, sigma, order_padded,
             delta = scatter_add(delta, ex.src, add, mask=down)
             return delta, ex.total
         return bstep
+
+    def make_back_fused(cap: int):
+        from ..ops.pallas_kernels import reduce_by_dst_sorted
+        out_lanes = min(cap, graph.v_pad) + 128
+
+        def bstep(args):
+            delta, t = args
+            start = offsets[t]
+            n = offsets[t + 1] - start
+            frontier = jax.lax.dynamic_slice(order_padded, (start,),
+                                             (fcap,))
+            ex = expand(graph, frontier, n, cap, sorted_frontier=True,
+                        with_dst=False)
+            if pallas:
+                from ..ops.pallas_kernels import sample_sorted
+                dst = sample_sorted(graph.col_indices, ex.eid)
+            else:
+                dst = jnp.take(graph.col_indices, ex.eid,
+                               indices_are_sorted=True)
+            down = ex.mask & (jnp.take(labels, dst) == t + 1)
+            sig_dst = jnp.where(down, jnp.take(sigma, dst), 1.0)
+            add = jnp.where(down, (1.0 + jnp.take(delta, dst)) / sig_dst,
+                            0.0)
+            cids, csum, n_heads = reduce_by_dst_sorted(
+                jnp.where(ex.mask, ex.src, graph.v_pad), add, op="sum",
+                out_lanes=out_lanes)
+            lane = jnp.arange(out_lanes, dtype=jnp.int32)
+            hvalid = (lane < n_heads) & (cids < graph.v_pad)
+            ids_c = jnp.where(hvalid, cids, graph.v_pad - 1)
+            vals = jnp.where(
+                hvalid,
+                jnp.take(sigma, ids_c, indices_are_sorted=True) * csum,
+                0.0)
+            delta = delta.at[jnp.where(hvalid, cids, graph.v_pad)].add(
+                vals, mode="drop", indices_are_sorted=True)
+            return delta, ex.total
+        return bstep
+
+    make_back = make_back_fused if fused else make_back_plain
 
     def _bwd_pull(args):
         delta, t = args
@@ -228,14 +326,14 @@ def _make_bwd_step(graph: DeviceGraph, labels, sigma, order_padded,
 
 def _bc_loop(graph: DeviceGraph, src: jax.Array, *, fcap: int,
              caps: tuple[int, ...], pallas: bool = False,
-             interpret: bool = False):
+             interpret: bool = False, fused: bool = False):
     """Single-call hybrid Brandes — used by the CPU path, the replicated
     batch execution (``parallel/replicate.bc_batch`` runs it inside
     shard_map), and tests. The TPU path chunk-enacts the SAME step
     makers from the host (``_bc_hybrid``) to stay under device execution
     limits on deep graphs."""
     v_pad = graph.v_pad
-    fstep = _make_fwd_step(graph, fcap, caps, pallas, interpret)
+    fstep = _make_fwd_step(graph, fcap, caps, pallas, interpret, fused)
 
     def fcond(state: _FwdState):
         return (state.n > 0) & (~state.stats.overflow)
@@ -246,7 +344,7 @@ def _bc_loop(graph: DeviceGraph, src: jax.Array, *, fcap: int,
 
     order_padded, offsets = _level_replay(labels, v_pad, fcap)
     bstep = _make_bwd_step(graph, labels, sigma, order_padded, offsets,
-                           fcap, caps, pallas, interpret)
+                           fcap, caps, pallas, interpret, fused)
 
     def bcond(args):
         return args[1] >= 0
@@ -258,13 +356,16 @@ def _bc_loop(graph: DeviceGraph, src: jax.Array, *, fcap: int,
 
 
 _bc_jit = jax.jit(_bc_loop,
-                  static_argnames=("fcap", "caps", "pallas", "interpret"))
+                  static_argnames=("fcap", "caps", "pallas", "interpret",
+                                   "fused"))
 
 
-@partial(jax.jit, static_argnames=("fcap", "caps", "pallas", "interpret"))
+@partial(jax.jit, static_argnames=("fcap", "caps", "pallas", "interpret",
+                                   "fused"))
 def _bc_fwd_jit(graph: DeviceGraph, state: _FwdState, upto, *, fcap: int,
-                caps, pallas: bool, interpret: bool = False):
-    fstep = _make_fwd_step(graph, fcap, caps, pallas, interpret)
+                caps, pallas: bool, interpret: bool = False,
+                fused: bool = False):
+    fstep = _make_fwd_step(graph, fcap, caps, pallas, interpret, fused)
 
     def fcond(st: _FwdState):
         return (st.n > 0) & (~st.stats.overflow) & \
@@ -281,12 +382,13 @@ def _bc_mid_jit(labels, *, fcap: int):
     return _level_replay(labels, labels.shape[0], fcap)
 
 
-@partial(jax.jit, static_argnames=("fcap", "caps", "pallas", "interpret"))
+@partial(jax.jit, static_argnames=("fcap", "caps", "pallas", "interpret",
+                                   "fused"))
 def _bc_bwd_jit(graph: DeviceGraph, labels, sigma, order_padded, offsets,
                 delta, t_hi, t_lo, *, fcap: int, caps, pallas: bool,
-                interpret: bool = False):
+                interpret: bool = False, fused: bool = False):
     bstep = _make_bwd_step(graph, labels, sigma, order_padded, offsets,
-                           fcap, caps, pallas, interpret)
+                           fcap, caps, pallas, interpret, fused)
 
     def bcond(args):
         return args[1] >= t_lo
@@ -297,7 +399,7 @@ def _bc_bwd_jit(graph: DeviceGraph, labels, sigma, order_padded, offsets,
 
 def _bc_hybrid(graph: DeviceGraph, src: int, fcap: int, caps,
                pallas: bool = True, instrument=None,
-               interpret: bool = False):
+               interpret: bool = False, fused: bool = False):
     """Host-chunked enactment: bounded level counts per device call — a
     deep graph's ~thousands of sequential levels would otherwise exceed
     the serving path's execution limits (the same chunking discipline as
@@ -314,7 +416,7 @@ def _bc_hybrid(graph: DeviceGraph, src: int, fcap: int, caps,
     while True:
         st, probe = _bc_fwd_jit(graph, st, jnp.int32(upto), fcap=fcap,
                                 caps=caps, pallas=pallas,
-                                interpret=interpret)
+                                interpret=interpret, fused=fused)
         it, ovf, n = (int(x) for x in np.asarray(probe))
         if instrument is not None:
             t1 = _time.perf_counter()
@@ -335,7 +437,8 @@ def _bc_hybrid(graph: DeviceGraph, src: int, fcap: int, caps,
         delta = jax.block_until_ready(_bc_bwd_jit(
             graph, labels, sigma, order_padded, offsets,
             delta, jnp.int32(hi), jnp.int32(lo),
-            fcap=fcap, caps=caps, pallas=pallas, interpret=interpret))
+            fcap=fcap, caps=caps, pallas=pallas, interpret=interpret,
+            fused=fused))
         if instrument is not None:
             t1 = _time.perf_counter()
             instrument.append({"phase": "backward", "level": hi,
@@ -434,9 +537,13 @@ def _bc_pull(graph: DeviceGraph, src: int, chunk: int = 16,
 
 
 def bc_device(graph: DeviceGraph, src, *, queue_sizing: float = 1.0,
-              instrument=None):
+              instrument=None, fused=None):
+    import os
     use_pallas = (jax.default_backend() == "tpu" and
                   graph.has_blocked_values)
+    if fused is None:
+        fused = (jax.default_backend() == "tpu" and
+                 os.environ.get("GUNROCK_BC_FUSED", "1") == "1")
     if use_pallas and instrument is not None:
         # Per-level wall-clock records, one device call per level
         # (reference --instrumented kernel stats via the all-pull path).
@@ -449,8 +556,9 @@ def bc_device(graph: DeviceGraph, src, *, queue_sizing: float = 1.0,
         # it also carries --instrumented per-level records (previously a
         # silent no-op off-TPU).
         return _bc_hybrid(graph, int(src), fcap, caps, pallas=use_pallas,
-                          instrument=instrument)
-    return _bc_jit(graph, jnp.int32(src), fcap=fcap, caps=caps)
+                          instrument=instrument, fused=fused)
+    return _bc_jit(graph, jnp.int32(src), fcap=fcap, caps=caps,
+                   fused=fused)
 
 
 def bc(graph: Union[CsrGraph, DeviceGraph],

@@ -344,3 +344,59 @@ def test_sssp_fused_relax_matches_xla(rmat_small):
                             m_f=ref[3])
     finally:
         pk._reduce_sorted_2d = orig
+
+
+def test_bc_fused_matches_plain(chesapeake):
+    """Fused BC (sorted-stream destination reduction in both phases) ==
+    the plain push machinery (float sums reassociate => rtol)."""
+    import gunrock_tpu as gt
+    import gunrock_tpu.ops.pallas_kernels as pk
+    from gunrock_tpu.models.bc import _bc_loop
+    from gunrock_tpu.enactor import capacity_ladder
+
+    dg = gt.to_device(chesapeake)
+    src = chesapeake.largest_degree_vertex()
+    caps = tuple(capacity_ladder(dg.e_pad))
+    ref_bc, ref_sig, ref_lab, _ = _bc_loop(dg, jnp.int32(src),
+                                           fcap=dg.v_pad, caps=caps)
+
+    orig = pk._reduce_sorted_2d
+    pk._reduce_sorted_2d = lambda *a, **kw: orig(
+        *a, **{**kw, "interpret": True})
+    try:
+        bc_v, sig, lab, _ = _bc_loop(dg, jnp.int32(src), fcap=dg.v_pad,
+                                     caps=caps, fused=True)
+    finally:
+        pk._reduce_sorted_2d = orig
+
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(ref_lab))
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(ref_sig),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(bc_v), np.asarray(ref_bc),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bc_fused_matches_plain_rmat(rmat_small):
+    import gunrock_tpu as gt
+    import gunrock_tpu.ops.pallas_kernels as pk
+    from gunrock_tpu.models.bc import _bc_loop
+    from gunrock_tpu.enactor import capacity_ladder
+
+    dg = gt.to_device(rmat_small)
+    src = rmat_small.largest_degree_vertex()
+    caps = tuple(capacity_ladder(dg.e_pad))
+    ref_bc, ref_sig, ref_lab, _ = _bc_loop(dg, jnp.int32(src),
+                                           fcap=dg.v_pad, caps=caps)
+    orig = pk._reduce_sorted_2d
+    pk._reduce_sorted_2d = lambda *a, **kw: orig(
+        *a, **{**kw, "interpret": True})
+    try:
+        bc_v, sig, lab, _ = _bc_loop(dg, jnp.int32(src), fcap=dg.v_pad,
+                                     caps=caps, fused=True)
+    finally:
+        pk._reduce_sorted_2d = orig
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(ref_lab))
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(ref_sig),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(bc_v), np.asarray(ref_bc),
+                               rtol=1e-3, atol=1e-4)

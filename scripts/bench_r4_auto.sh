@@ -25,3 +25,4 @@ run sharded1 "python scripts/bench_sharded1.py"
 run profile  "python scripts/profile_deep_r3.py"
 run matrix   "bash scripts/bench_matrix.sh BENCH_MATRIX.jsonl"
 run value_ab "python scripts/value_ab_r3.py"
+run fused_ab "python scripts/fused_ab_r4.py"

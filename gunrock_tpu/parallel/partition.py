@@ -20,7 +20,8 @@ Partition methods (reference method strings, ``problem_base.cuh:1640-1677``):
   "random"     uniform random    (app/rp, default)  -> random permutation
   "biasrandom" degree-balanced random (app/brp)     -> greedy bin-pack by degree
   "cluster"    locality clustering (app/cp)         -> BFS traversal order
-  "metis"      min-cut (app/metisp, needs libmetis) -> BFS order fallback here
+  "metis"      min-cut (app/metisp via libmetis)    -> multilevel coarsen/LP/refine
+  "lp"         (extra) single-level balanced label propagation
   "duplicate"  full replication (app/dup)           -> replicated execution
 """
 
@@ -38,7 +39,9 @@ import numpy as np
 from ..graph.csr import CsrGraph
 from ..graph.device import round_up
 
-__all__ = ["PartitionedGraph", "partition", "make_permutation"]
+__all__ = ["PartitionedGraph", "partition", "make_permutation",
+           "label_propagation", "multilevel_partition",
+           "boundary_fraction"]
 
 
 @partial(
@@ -163,6 +166,209 @@ def _group_rank(keys: np.ndarray) -> np.ndarray:
     return out
 
 
+def _lp_refine(src: np.ndarray, dst: np.ndarray, ew: np.ndarray,
+               nw: np.ndarray, num_shards: int, cap_w: float,
+               lab: np.ndarray, rounds: int) -> np.ndarray:
+    """Weighted label-propagation move rounds (the shared engine behind
+    :func:`label_propagation` and the multilevel refinement): every vertex
+    scores each shard by its edge-weight to it with a Fennel-style
+    occupancy penalty, then the highest-gain moves are accepted per target
+    shard up to its remaining node-weight capacity. All edge-scale work is
+    ``np.bincount``; acceptance is a per-target segmented cumsum."""
+    n = nw.shape[0]
+    p = num_shards
+    lab = lab.copy()
+    lane = np.arange(n)
+    for _ in range(rounds):
+        counts = np.bincount(src * p + lab[dst], weights=ew,
+                             minlength=n * p).reshape(n, p)
+        sizes = np.bincount(lab, weights=nw, minlength=p)
+        score = counts * (1.0 - sizes / (2.0 * cap_w))
+        want = score.argmax(axis=1)
+        gain = score[lane, want] - score[lane, lab]
+        cand = np.nonzero((want != lab) & (gain > 0))[0]
+        if cand.size == 0:
+            break
+        # accept per target shard in gain order up to remaining capacity
+        # (node-weight units): segmented inclusive cumsum of move weights
+        order = np.lexsort((-gain[cand], want[cand]))
+        cs = cand[order]
+        tgt = want[cs]
+        w = nw[cs].astype(np.float64)
+        cum = np.cumsum(w)
+        is_start = np.r_[True, tgt[1:] != tgt[:-1]]
+        seg_first = np.maximum.accumulate(
+            np.where(is_start, np.arange(len(cs)), 0))
+        cum_in_seg = cum - (cum - w)[seg_first]
+        room = np.maximum(cap_w - sizes[tgt], 0.0)
+        ok = cs[cum_in_seg <= room]
+        if ok.size == 0:
+            break
+        lab[ok] = want[ok]
+    return lab
+
+
+def _rebalance(src: np.ndarray, dst: np.ndarray, ew: np.ndarray,
+               nw: np.ndarray, num_shards: int, cap_w: float,
+               lab: np.ndarray) -> np.ndarray:
+    """Evict the least-attached vertices from overfull shards into the
+    emptiest shards (LP move rounds only ever reject inbound moves, so a
+    bad initial projection can leave a shard overfull)."""
+    n = nw.shape[0]
+    p = num_shards
+    lab = lab.copy()
+    for _ in range(p):
+        sizes = np.bincount(lab, weights=nw, minlength=p)
+        over = np.nonzero(sizes > cap_w)[0]
+        if over.size == 0:
+            break
+        counts = np.bincount(src * p + lab[dst], weights=ew,
+                             minlength=n * p).reshape(n, p)
+        for s in over:
+            members = np.nonzero(lab == s)[0]
+            # least internally attached leave first
+            leave = members[np.argsort(counts[members, s], kind="stable")]
+            excess = sizes[s] - cap_w
+            take = np.searchsorted(np.cumsum(nw[leave]), excess) + 1
+            moved = leave[: min(int(take), leave.size)]
+            if moved.size == 0:
+                continue
+            # best target among shards with room, else globally emptiest
+            tgt_score = counts[moved].astype(np.float64)
+            tgt_score[:, sizes >= cap_w] = -np.inf
+            tgt = tgt_score.argmax(axis=1)
+            nofit = ~np.isfinite(tgt_score[np.arange(moved.size), tgt])
+            tgt[nofit] = sizes.argmin()
+            lab[moved] = tgt
+            sizes = np.bincount(lab, weights=nw, minlength=p)
+    return lab
+
+
+def _heavy_matching(src: np.ndarray, dst: np.ndarray, ew: np.ndarray,
+                    n: int, rng: np.random.Generator,
+                    rounds: int = 4) -> np.ndarray:
+    """Vectorized heavy-edge matching: each unmatched vertex proposes to
+    its heaviest unmatched neighbor; mutual proposals pair up. A few
+    proposal rounds reach near-maximal matchings (the role of the serial
+    greedy matching in multilevel partitioners)."""
+    match = np.full(n, -1, np.int64)
+    for _ in range(rounds):
+        alive = (match[src] < 0) & (match[dst] < 0) & (src != dst)
+        s, d, w = src[alive], dst[alive], ew[alive]
+        if s.size == 0:
+            break
+        # per-source argmax weight (random tiebreak): ascending lexsort,
+        # last edge of each source segment is its heaviest
+        key = np.lexsort((rng.random(s.size), w, s))
+        ss = s[key]
+        last = np.r_[ss[1:] != ss[:-1], True]
+        prop = np.full(n, -1, np.int64)
+        prop[ss[last]] = d[key][last]
+        has = prop >= 0
+        mutual = has & (prop[np.clip(prop, 0, n - 1)] == np.arange(n)) \
+            & (np.arange(n) < prop)
+        v = np.nonzero(mutual)[0]
+        match[v] = prop[v]
+        match[prop[v]] = v
+    return match
+
+
+def _coarsen(src: np.ndarray, dst: np.ndarray, ew: np.ndarray,
+             nw: np.ndarray, match: np.ndarray):
+    """Contract matched pairs: returns ``(cid, csrc, cdst, cew, cnw)``
+    where ``cid[v]`` is v's coarse vertex; parallel coarse edges merge
+    with summed weights, self-loops drop (their weight is interior)."""
+    n = nw.shape[0]
+    parent = np.where(match >= 0, np.minimum(np.arange(n), match),
+                      np.arange(n))
+    reps, cid = np.unique(parent, return_inverse=True)
+    nc = reps.size
+    cs, cd = cid[src], cid[dst]
+    keep = cs != cd
+    key = cs[keep] * np.int64(nc) + cd[keep]
+    uk, inv = np.unique(key, return_inverse=True)
+    cew = np.bincount(inv, weights=ew[keep])
+    cnw = np.bincount(cid, weights=nw, minlength=nc)
+    return cid, (uk // nc).astype(np.int64), (uk % nc).astype(np.int64), \
+        cew, cnw
+
+
+def multilevel_partition(g: CsrGraph, num_shards: int, seed: int = 0,
+                         slack: float = 1.03,
+                         coarsest_rounds: int = 24,
+                         refine_rounds: int = 6) -> np.ndarray:
+    """Multilevel min-cut partitioning — the real analogue of the
+    reference's libmetis call (``METIS_PartGraphKway``,
+    ``app/metisp/metis_partitioner.cuh:17``), built from the same three
+    phases METIS uses, all vectorized numpy:
+
+      1. **coarsen**: repeated heavy-edge matching + contraction until the
+         graph is small (edge weights accumulate merged parallel edges,
+         node weights accumulate contracted vertices);
+      2. **initial partition**: weighted label propagation on the
+         coarsest graph (balanced by node weight);
+      3. **uncoarsen + refine**: project labels level by level, running
+         boundary move rounds (FM-style highest-gain-first with capacity
+         acceptance) at every level.
+
+    Single-level LP (``label_propagation``) remains available as the
+    cheap stand-in; this one closes the cut-quality gap on mesh/road
+    graphs where local moves alone cannot escape a bad random start.
+    """
+    n = g.num_nodes
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    src = g.edge_sources().astype(np.int64)
+    dst = g.col_indices.astype(np.int64)
+    ew = np.ones(src.shape[0], np.float64)
+    nw = np.ones(n, np.float64)
+    total_w = float(n)
+    coarse_target = max(8 * num_shards, 96)
+    levels = []   # (src, dst, ew, nw, cid) per fine level, finest first
+    while nw.shape[0] > coarse_target:
+        match = _heavy_matching(src, dst, ew, nw.shape[0], rng)
+        if np.count_nonzero(match >= 0) < 0.1 * nw.shape[0]:
+            break   # matching stalled (star-like residue)
+        levels.append((src, dst, ew, nw))
+        cid, src, dst, ew, nw = _coarsen(src, dst, ew, nw, match)
+        levels[-1] = levels[-1] + (cid,)
+    cap_w = slack * total_w / num_shards
+    # best-of-K initial partitions at the coarsest level (METIS runs
+    # multiple initial bisections the same way) — the coarsest graph is
+    # tiny, so extra starts are nearly free
+    best_lab, best_cut = None, np.inf
+    for _ in range(4):
+        lab = rng.integers(0, num_shards, nw.shape[0])
+        lab = _lp_refine(src, dst, ew, nw, num_shards, cap_w, lab,
+                         coarsest_rounds)
+        lab = _rebalance(src, dst, ew, nw, num_shards, cap_w, lab)
+        cut = float(ew[lab[src] != lab[dst]].sum())
+        if cut < best_cut:
+            best_lab, best_cut = lab, cut
+    lab = best_lab
+    for fsrc, fdst, few, fnw, cid in reversed(levels):
+        lab = lab[cid]
+        lab = _lp_refine(fsrc, fdst, few, fnw, num_shards, cap_w, lab,
+                         refine_rounds)
+    # finest-level balance guarantee (the 1.15x test bound): tighten to
+    # unit node weights and evict any residual overflow
+    fsrc = src if not levels else levels[0][0]
+    fdst = dst if not levels else levels[0][1]
+    few = ew if not levels else levels[0][2]
+    lab = _rebalance(fsrc, fdst, few, np.ones(n, np.float64), num_shards,
+                     slack * n / num_shards, lab)
+    # Portfolio vs flat LP: on power-law graphs (no good cuts exist)
+    # coarsening projects into a worse basin than LP-from-random — a
+    # known multilevel weakness on social graphs — so keep whichever
+    # labeling measurably cuts less. Both are cheap next to graph build.
+    lab_lp = label_propagation(g, num_shards, seed)
+    if (few[lab_lp[fsrc] != lab_lp[fdst]].sum()
+            < few[lab[fsrc] != lab[fdst]].sum()):
+        lab = lab_lp
+    return lab
+
+
 def label_propagation(g: CsrGraph, num_shards: int, seed: int = 0,
                       rounds: int = 8,
                       slack: float = 1.05) -> np.ndarray:
@@ -179,35 +385,13 @@ def label_propagation(g: CsrGraph, num_shards: int, seed: int = 0,
     p = num_shards
     if n == 0:
         return np.zeros(0, dtype=np.int64)
-    cap = int(slack * -(-n // p))
+    cap = float(slack * -(-n // p))
     src = g.edge_sources().astype(np.int64)
     dst = g.col_indices.astype(np.int64)
     rng = np.random.default_rng(seed)
     lab = rng.integers(0, p, n)
-    for _ in range(rounds):
-        # per-(vertex, shard) neighbor-label histogram
-        counts = np.bincount(src * p + lab[dst],
-                             minlength=n * p).reshape(n, p)
-        sizes = np.bincount(lab, minlength=p).astype(np.float64)
-        # occupancy penalty discourages piling into big shards
-        score = counts.astype(np.float64) * (1.0 - sizes / (2.0 * cap))
-        want = score.argmax(axis=1)
-        gain = score[np.arange(n), want] - score[np.arange(n), lab]
-        move = (want != lab) & (gain > 0)
-        # accept moves into each shard only up to its remaining capacity,
-        # highest-gain first (vectorized: rank moves per target shard)
-        cand = np.nonzero(move)[0]
-        if cand.size == 0:
-            break
-        ord_gain = cand[np.argsort(-gain[cand], kind="stable")]
-        tgt = want[ord_gain]
-        room = np.maximum(cap - sizes[tgt].astype(np.int64), 0)
-        rank_in_tgt = _group_rank(tgt)
-        ok = ord_gain[rank_in_tgt < room]
-        if ok.size == 0:
-            break
-        lab[ok] = want[ok]
-    return lab
+    return _lp_refine(src, dst, np.ones(src.shape[0], np.float64),
+                      np.ones(n, np.float64), p, cap, lab, rounds)
 
 
 def _from_labels(lab: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -255,8 +439,12 @@ def _assignment(g: CsrGraph, method: str, num_shards: int,
         # Locality ordering: BFS traversal order keeps neighborhoods in
         # the same shard (greedy clustering, app/cp analogue).
         return from_order(_bfs_order(g))
-    if method in ("metis", "lp"):
-        # Balanced label propagation (min-cut stand-in for app/metisp).
+    if method == "metis":
+        # Multilevel min-cut (coarsen / partition / refine) — the real
+        # analogue of the reference's METIS_PartGraphKway call.
+        return _from_labels(multilevel_partition(g, num_shards, seed))
+    if method == "lp":
+        # Single-level balanced label propagation (cheaper stand-in).
         return _from_labels(label_propagation(g, num_shards, seed))
     raise ValueError(f"unknown partition method {method!r}")
 

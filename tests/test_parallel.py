@@ -172,6 +172,40 @@ def test_lp_partitioner_beats_random_on_boundary(rmat_small):
     assert sizes.max() <= 1.15 * -(-rmat_small.num_nodes // 8)
 
 
+def test_multilevel_partitioner_beats_lp_on_both_families(rmat_small):
+    # The multilevel coarsen/partition/refine pipeline must not lose to
+    # the single-level LP stand-in on either graph family — power-law
+    # (rmat) or mesh-like (grid), where local moves alone can't escape a
+    # bad random start (VERDICT r3 item 7).
+    from gunrock_tpu.parallel.partition import (boundary_fraction,
+                                                label_propagation,
+                                                multilevel_partition)
+    n = 48
+    idx = np.arange(n * n).reshape(n, n)
+    gsrc = np.concatenate([idx[:, :-1].ravel(), idx[:-1, :].ravel()])
+    gdst = np.concatenate([idx[:, 1:].ravel(), idx[1:, :].ravel()])
+    grid = gt.from_coo(n * n, gsrc, gdst, undirected=True)
+    for g in (rmat_small, grid):
+        ml = boundary_fraction(g, multilevel_partition(g, 8, seed=0))
+        lp = boundary_fraction(g, label_propagation(g, 8, seed=0))
+        assert ml <= lp * 1.02, (ml, lp)
+    # mesh cuts specifically must be near-planar quality: an 8-way cut of
+    # an n x n grid has a ~7n lower bound; multilevel should be within a
+    # small factor of it, far below random's 7/8 of edges
+    ml_grid = boundary_fraction(grid, multilevel_partition(grid, 8, seed=0))
+    assert ml_grid < 0.12, ml_grid
+
+
+def test_multilevel_partitioner_balanced_and_deterministic(rmat_small):
+    from gunrock_tpu.parallel.partition import multilevel_partition
+    lab1 = multilevel_partition(rmat_small, 8, seed=3)
+    lab2 = multilevel_partition(rmat_small, 8, seed=3)
+    np.testing.assert_array_equal(lab1, lab2)
+    sizes = np.bincount(lab1, minlength=8)
+    assert sizes.max() <= 1.15 * -(-rmat_small.num_nodes // 8)
+    assert sizes.min() > 0
+
+
 def test_partitioners_vectorized_slots_dense(rmat_small):
     from gunrock_tpu.parallel.partition import _assignment
     for method in ("biasrandom", "cluster", "metis"):

@@ -403,6 +403,15 @@ def main(argv=None) -> int:
                   + (f", {mteps:.1f} MTEPS" if mteps else "")
                   + (f", depth {info['search_depth']}"
                      if "search_depth" in info else ""))
+            if args.instrumented and info.get("phase_ms"):
+                # per-kernel duty split (reference --instrumented
+                # avg_duty, util/info.cuh:1380-1385)
+                split = ", ".join(
+                    f"{k} {v:.1f} ms/{info['phase_iterations'][k]} it"
+                    for k, v in sorted(info["phase_ms"].items()))
+                duty = info.get("avg_duty")
+                print(f"  phases: {split}"
+                      + (f"; avg_duty {duty:.2f}" if duty else ""))
 
     path = write_info(info, args.jsonfile, args.jsondir)
     if path and not args.quiet:

@@ -511,9 +511,14 @@ def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
 
     out = jax.lax.while_loop(cond, body, state)
     # Single packed convergence probe: one host fetch per chunk instead
-    # of three scalar round-trips over the device tunnel.
+    # of several scalar round-trips over the device tunnel. m_f and
+    # use_pull ride along so instrumented mode can attribute each
+    # iteration to its phase (pull pass / push ladder / deep micro-loop)
+    # with zero extra fetches — the per-kernel duty split of the
+    # reference's --instrumented mode (util/kernel_runtime_stats.cuh).
     probe = jnp.stack([out.stats.iteration,
-                       out.stats.overflow.astype(jnp.int32), out.n])
+                       out.stats.overflow.astype(jnp.int32), out.n,
+                       out.m_f, out.use_pull.astype(jnp.int32)])
     return out, probe
 
 
@@ -536,9 +541,13 @@ def bfs_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
 
     ``instrument``: pass a list to enact one iteration per device call and
     collect per-iteration wall-clock records ``{iteration, ms, frontier,
-    pull}`` into it — the reference's ``--instrumented`` kernel-stats mode
-    (``util/kernel_runtime_stats.cuh``); adds per-call dispatch overhead,
-    exactly like the reference's instrumented runs."""
+    pull, phase}`` into it — the reference's ``--instrumented``
+    kernel-stats mode (``util/kernel_runtime_stats.cuh``; per-stage
+    timers ``enactor_types.cuh:67-72``). ``phase`` attributes the
+    iteration to the kernel family that ran it: ``"pull"`` (full-edge
+    pull pass), ``"push"`` (laddered push rung) or ``"deep"``
+    (micro-loop stretch). Adds per-call dispatch overhead, exactly like
+    the reference's instrumented runs."""
     if direction_optimized and not graph.has_csc:
         raise ValueError("direction_optimized BFS needs to_device(with_csc=True)")
     # DO mode never materializes large (pull) frontiers as queues, so the
@@ -571,17 +580,32 @@ def bfs_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
     # realistic BFS depth in a single call.
     import time as _time
     t0 = _time.perf_counter()
+    deep_on = fcap >= DEEP_CAP
+    if instrument is not None:
+        # dispatch size the FIRST iteration saw: n=1, m_f=deg(src)
+        prev_dispatch = int(np.asarray(
+            graph.row_offsets[int(src) + 1] - graph.row_offsets[int(src)]))
+        prev_dispatch = max(prev_dispatch, 1)
     upto = min(chunk_iters, max_iters)
     state, probe = chunk(jnp.int32(src), upto, True)
     while upto < max_iters:
-        it, ovf, n = (int(x) for x in np.asarray(probe))
+        it, ovf, n, m_f, pull = (int(x) for x in np.asarray(probe))
         if instrument is not None:
             t1 = _time.perf_counter()
+            # Phase = the branch body() dispatched on the PRE-iteration
+            # dispatch size (carried from the previous probe).
+            if deep_on and prev_dispatch <= DEEP_CAP and not (
+                    direction_optimized and pull):
+                phase = "deep"
+            elif direction_optimized and pull:
+                phase = "pull"
+            else:
+                phase = "push"
             instrument.append({
                 "iteration": it, "ms": (t1 - t0) * 1e3,
-                "frontier": n,
-                "pull": bool(np.asarray(state.use_pull))})
+                "frontier": n, "phase": phase, "pull": bool(pull)})
             t0 = t1
+            prev_dispatch = max(m_f, n)
         if it < upto or ovf or n == 0:
             break
         upto = min(upto + chunk_iters, max_iters)

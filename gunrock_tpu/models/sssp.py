@@ -561,8 +561,12 @@ def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
             state)
 
     out = jax.lax.while_loop(cond, body, state)
+    # m_f rides in the packed probe so instrumented mode attributes each
+    # round to its phase (push ladder / full pull / deep micro-loop)
+    # without an extra device fetch.
     probe = jnp.stack([out.stats.iteration,
-                       out.stats.overflow.astype(jnp.int32), out.n])
+                       out.stats.overflow.astype(jnp.int32), out.n,
+                       out.m_f])
     return out, probe
 
 
@@ -659,16 +663,35 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
     # Chunked enactment (see bfs_device).
     import time as _time
     t0 = _time.perf_counter()
+    deep_on = fcap >= 2 * DEEP_CAP
+    pull_thresh = max(1, min(graph.num_edges // 16, 2**30)) \
+        if (use_pallas and graph.has_blocked_values) else None
+    if instrument is not None:
+        prev_dispatch = max(int(np.asarray(
+            graph.row_offsets[int(src) + 1]
+            - graph.row_offsets[int(src)])), 1)
+        prev_m_f = prev_dispatch
     upto = min(chunk_iters, max_iters)
     state, probe = chunk(jnp.int32(src), upto, True)
     while True:
-        it, ovf, n = (int(x) for x in np.asarray(probe))
+        it, ovf, n, m_f = (int(x) for x in np.asarray(probe))
         if instrument is not None:
             t1 = _time.perf_counter()
+            # Phase = the branch body() dispatched on the PRE-round
+            # dispatch size (reference per-stage subqueue/fullqueue
+            # timers, enactor_types.cuh:67-72).
+            if deep_on and prev_dispatch <= DEEP_CAP:
+                phase = "deep"
+            elif pull_thresh is not None and prev_m_f > pull_thresh:
+                phase = "pull"
+            else:
+                phase = "push"
             instrument.append({
                 "iteration": it, "ms": (t1 - t0) * 1e3, "frontier": n,
-                "m_f": int(np.asarray(state.m_f))})
+                "m_f": m_f, "phase": phase})
             t0 = t1
+            prev_dispatch = max(m_f, n)
+            prev_m_f = m_f
         if ovf or n == 0 or it >= max_iters:
             break
         upto = min(it + chunk_iters, max_iters)

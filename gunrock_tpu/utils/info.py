@@ -99,6 +99,22 @@ def make_info(*, primitive: str, graph, stats=None, timer=None,
         kernel_ms = sum(r.get("ms", 0.0) for r in per_iter
                         if isinstance(r, dict))
         info["avg_duty"] = min(kernel_ms / process_ms, 1.0)
+    # Per-phase duty split (reference per-kernel lifetimes +
+    # subqueue/fullqueue stage timers, util/kernel_runtime_stats.cuh,
+    # enactor_types.cuh:67-72): total ms and iteration count per kernel
+    # family — pull pass / push ladder / deep micro-loop (single chip),
+    # forward/backward (BC), exchange/local (sharded supersteps).
+    if per_iter and any(isinstance(r, dict) and "phase" in r
+                        for r in per_iter):
+        phase_ms: dict = {}
+        phase_iters: dict = {}
+        for r in per_iter:
+            if isinstance(r, dict) and "phase" in r:
+                phase_ms[r["phase"]] = (phase_ms.get(r["phase"], 0.0)
+                                        + r.get("ms", 0.0))
+                phase_iters[r["phase"]] = phase_iters.get(r["phase"], 0) + 1
+        info["phase_ms"] = {k: round(v, 3) for k, v in phase_ms.items()}
+        info["phase_iterations"] = phase_iters
     return info
 
 

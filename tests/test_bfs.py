@@ -113,6 +113,24 @@ def test_bfs_instrumented_per_iteration_records(rmat_small):
         len(rec) == res.info["search_depth"] + 1
     assert all(r["ms"] > 0 for r in rec)
     assert any(r["pull"] for r in rec)  # scale-free: pull must engage
+    # per-kernel duty split (reference util/kernel_runtime_stats.cuh):
+    # every record is attributed to a phase and the aggregate exists
+    assert all(r["phase"] in ("push", "pull", "deep") for r in rec)
+    assert any(r["phase"] == "pull" for r in rec)
+    split = res.info["phase_ms"]
+    assert set(split) == {r["phase"] for r in rec}
+    total = sum(split.values())
+    assert abs(total - sum(r["ms"] for r in rec)) < 0.1 * total + 1e-6
+    assert res.info["phase_iterations"]["pull"] >= 1
+
+
+def test_bfs_instrumented_deep_phase_on_grid(road_big):
+    res = gt.bfs(road_big, src=0, instrumented=True)
+    rec = res.info["per_iteration"]
+    # a 382-diameter grid runs almost entirely in the micro-loop
+    assert res.info["phase_iterations"].get("deep", 0) > \
+        res.info["phase_iterations"].get("push", 0)
+    assert all(r["phase"] in ("push", "deep") for r in rec)
 
 
 def test_bfs_deep_micro_loop(road_big):

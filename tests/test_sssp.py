@@ -109,3 +109,18 @@ def test_sssp_deep_micro_queue_value_carry(road_big, monkeypatch):
                                       np.asarray(base[0]))
         np.testing.assert_allclose(
             np.asarray(got[0])[: g.num_nodes], want, rtol=1e-5)
+
+
+def test_sssp_instrumented_phase_split(rmat_small):
+    """--instrumented attributes every round to a kernel phase and the
+    info record aggregates the duty split (reference per-kernel stats,
+    util/kernel_runtime_stats.cuh + enactor_types.cuh:67-72)."""
+    res = gt.sssp(rmat_small, src=0, instrumented=True)
+    np.testing.assert_allclose(res.distances, cpu_sssp(rmat_small, 0),
+                               rtol=1e-5)
+    rec = res.info["per_iteration"]
+    assert rec and all(r["phase"] in ("push", "pull", "deep")
+                       for r in rec)
+    split = res.info["phase_ms"]
+    assert set(split) == {r["phase"] for r in rec}
+    assert sum(res.info["phase_iterations"].values()) == len(rec)

@@ -70,6 +70,15 @@ def load_graph(cdir):
         gdst = np.concatenate([idx[:, 1:].ravel(), idx[1:, :].ravel()])
         return gt.from_coo(n * n, gsrc, gdst, undirected=True), \
             f"grid{n}", kind
+    if kind == "market":
+        # Real .mtx row (BENCH_GRAPH=market:/path/to/graph.mtx) — no
+        # network in the image, so the largest bundled reference matrix
+        # (simple_example/bips98_606.mtx) is the default real dataset.
+        path = ":".join(parts[1:]) or \
+            "/root/reference/simple_example/bips98_606.mtx"
+        g = gt.io.load_market(path, undirected=True, use_cache=False)
+        tag = os.path.splitext(os.path.basename(path))[0]
+        return g, tag, kind
     raise SystemExit(f"unknown BENCH_GRAPH {GRAPH!r}")
 
 

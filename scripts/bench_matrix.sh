@@ -19,6 +19,7 @@ graphs=(
   "rmat:24:16"      # rmat_n24_e16 row
   "rgg:24"          # rgg_n24 row
   "grid:1448"       # road_usa-class diameter row (V=2.1M, depth ~2894)
+  "market:/root/reference/simple_example/bips98_606.mtx"  # real dataset
 )
 
 tag_of() {
@@ -27,6 +28,7 @@ tag_of() {
     rmat:*) echo "$1" | awk -F: '{printf "rmat%se%s", $2, $3}' ;;
     rgg:*)  echo "rgg${1#rgg:}" ;;
     grid:*) echo "grid${1#grid:}" ;;
+    market:*) basename "${1#market:}" .mtx ;;
   esac
 }
 

@@ -543,7 +543,7 @@ def bc_device(graph: DeviceGraph, src, *, queue_sizing: float = 1.0,
                   graph.has_blocked_values)
     if fused is None:
         fused = (jax.default_backend() == "tpu" and
-                 os.environ.get("GUNROCK_BC_FUSED", "1") == "1")
+                 os.environ.get("GUNROCK_BC_FUSED", "0") == "1")
     if use_pallas and instrument is not None:
         # Per-level wall-clock records, one device call per level
         # (reference --instrumented kernel stats via the all-pull path).

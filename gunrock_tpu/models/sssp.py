@@ -628,8 +628,10 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
     ``deep_carry`` enables queue value-carry in the deep micro-loop
     (defaults to the GUNROCK_SSSP_CARRY env var; see _make_deep_loop).
     ``fused`` routes general-round winner resolution through the Pallas
-    destination-reduction kernel (defaults to ON on TPU; override with
-    GUNROCK_SSSP_FUSED=0 — the auto-measure A/Bs it on hardware)."""
+    destination-reduction kernel (default OFF: the round-4 TPU A/B
+    measured a ~128 ms fixed cost in the reduction kernel that erases
+    its asymptotic win — bench_r4_auto fused_ab rows; enable with
+    GUNROCK_SSSP_FUSED=1)."""
     if deep_carry is None:
         deep_carry = os.environ.get("GUNROCK_SSSP_CARRY", "0") == "1"
     if not graph.has_edge_values:
@@ -642,7 +644,7 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
     use_pallas = jax.default_backend() == "tpu"
     if fused is None:
         fused = use_pallas and \
-            os.environ.get("GUNROCK_SSSP_FUSED", "1") == "1"
+            os.environ.get("GUNROCK_SSSP_FUSED", "0") == "1"
     if chunk_iters is None:
         # Many micro rounds per chunk are fine (each is DEEP_CAP-scale);
         # the edge budget below is what bounds big rounds.

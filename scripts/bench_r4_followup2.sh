@@ -1,0 +1,16 @@
+#!/bin/bash
+# Third wave: runs after bench_r4_followup.sh completes — kernel probes
+# for the scatter wall and the new scatter_sorted kernel.
+cd /root/repo
+OUT=bench_r4_auto.jsonl
+for i in $(seq 1 600); do
+  grep -q "FOLLOWUP DONE" $OUT 2>/dev/null && break
+  sleep 60
+done
+run() {
+  echo "# $1 start $(date -u +%H:%M:%S)" >> $OUT
+  timeout 3000 bash -c "$2" >> $OUT 2>&1
+  echo "# $1 exit=$? $(date -u +%H:%M:%S)" >> $OUT
+}
+run probe_scatter "python scripts/probe_scatter_r4.py"
+echo "# FOLLOWUP2 DONE $(date -u +%H:%M:%S)" >> $OUT

@@ -400,3 +400,70 @@ def test_bc_fused_matches_plain_rmat(rmat_small):
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(bc_v), np.asarray(ref_bc),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("op", ["min", "set", "add", "max"])
+@pytest.mark.parametrize("n,m", [(4096, 128), (8192, 4096),
+                                 (20000, 7000), (65536, 12000)])
+def test_scatter_sorted_interpret(op, n, m):
+    """scatter_sorted == XLA .at[] scatter for sorted-unique updates
+    (dense sizes off the tile grid, counts straddling chunk boundaries,
+    empty tiles, ids beyond dense range dropped)."""
+    import gunrock_tpu.ops.pallas_kernels as pk
+    rng = np.random.default_rng(hash((op, n, m)) % 2**31)
+    ids = np.unique(rng.integers(0, n, m).astype(np.int32))
+    cnt = len(ids)
+    vals = rng.normal(size=cnt).astype(np.float32) * 10
+    dense = rng.normal(size=n).astype(np.float32) * 10
+    cap = -(-m // 4096) * 4096
+    ids_p = np.full(cap, 0, np.int32)
+    ids_p[:cnt] = ids
+    ids_p[cnt:] = n - 1            # garbage beyond count: must be masked
+    vals_p = np.zeros(cap, np.float32)
+    vals_p[:cnt] = vals
+    got = pk.scatter_sorted(jnp.asarray(dense), jnp.asarray(ids_p),
+                            jnp.asarray(vals_p), count=cnt, op=op,
+                            interpret=True)
+    want = dense.copy()
+    if op == "min":
+        np.minimum.at(want, ids, vals)
+    elif op == "max":
+        np.maximum.at(want, ids, vals)
+    elif op == "add":
+        np.add.at(want, ids, vals)
+    else:
+        want[ids] = vals
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_scatter_sorted_dense_full_and_empty():
+    """All 4096 slots of one tile updated (router saturation) and a
+    zero-count call (no-op)."""
+    import gunrock_tpu.ops.pallas_kernels as pk
+    n = 8192
+    ids = np.arange(4096, dtype=np.int32) + 2048   # straddles two tiles
+    vals = np.arange(4096, dtype=np.float32)
+    dense = np.full(n, 1e9, np.float32)
+    got = pk.scatter_sorted(jnp.asarray(dense), jnp.asarray(ids),
+                            jnp.asarray(vals), op="min", interpret=True)
+    want = dense.copy()
+    want[ids] = vals
+    np.testing.assert_allclose(np.asarray(got), want)
+    got0 = pk.scatter_sorted(jnp.asarray(dense), jnp.asarray(ids),
+                             jnp.asarray(vals), count=0, op="min",
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got0), dense)
+
+
+def test_scatter_sorted_int32_set():
+    import gunrock_tpu.ops.pallas_kernels as pk
+    rng = np.random.default_rng(7)
+    n = 12000
+    ids = np.unique(rng.integers(0, n, 3000).astype(np.int32))
+    vals = rng.integers(0, 100, len(ids)).astype(np.int32)
+    dense = np.full(n, -1, np.int32)
+    got = pk.scatter_sorted(jnp.asarray(dense), jnp.asarray(ids),
+                            jnp.asarray(vals), op="set", interpret=True)
+    want = dense.copy()
+    want[ids] = vals
+    np.testing.assert_array_equal(np.asarray(got), want)

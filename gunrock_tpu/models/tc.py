@@ -17,8 +17,9 @@ leftovers). This is the complete TPU-native primitive:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
-from typing import Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -80,7 +81,23 @@ class _TcPrep:
     v_pad: int
 
 
-def _tc_prepare(g: CsrGraph, wedge_budget: int = 1 << 26) -> _TcPrep:
+def _default_wedge_budget() -> int:
+    """Per-chunk wedge cap. Serving-path TPU executions are killed past
+    ~60 s, and one chunk is one device call whose dominant cost is a
+    (e_pad + wedge_cap)-lane multi-key sort — 2^23 keeps a chunk's sort
+    comfortably under the limit (round-4: the 2^26 default wedged a
+    50-minute device call on rmat17). Override: GUNROCK_TC_WEDGE_BUDGET.
+    """
+    env = os.environ.get("GUNROCK_TC_WEDGE_BUDGET")
+    if env:
+        return int(env)
+    import jax
+    return 1 << 23 if jax.default_backend() == "tpu" else 1 << 26
+
+
+def _tc_prepare(g: CsrGraph, wedge_budget: Optional[int] = None) -> _TcPrep:
+    if wedge_budget is None:
+        wedge_budget = _default_wedge_budget()
     dag = _orient(g)
     deg = np.diff(dag.row_offsets).astype(np.int64)
     per_edge_wedges = deg[dag.col_indices]

@@ -13,4 +13,5 @@ run() {
   echo "# $1 exit=$? $(date -u +%H:%M:%S)" >> $OUT
 }
 run probe_scatter "python scripts/probe_scatter_r4.py"
+run value_ab_fixed "python scripts/value_ab_r3.py"
 echo "# FOLLOWUP2 DONE $(date -u +%H:%M:%S)" >> $OUT

@@ -74,12 +74,15 @@ def main():
         build_s = time.time() - t0
         x = jnp.asarray(rng.random(dg.v_pad).astype(np.float32))
 
-        f_sum = jax.jit(lambda x, dg=dg: pull_vertex_reduce(
-            x, dg, op="sum", wmode="none", interpret=interp))
-        ms_sum = best_ms(f_sum, x)
-        f_min = jax.jit(lambda x, dg=dg: pull_vertex_reduce(
-            x, dg, op="min", wmode="add", interpret=interp))
-        ms_min = best_ms(f_min, x)
+        # Pass dg as a pytree ARGUMENT: closure capture would embed the
+        # GB-scale blocked arrays as HLO constants and blow the remote
+        # compile request size (HTTP 413 over the tunnel).
+        f_sum = jax.jit(lambda x, dgg: pull_vertex_reduce(
+            x, dgg, op="sum", wmode="none", interpret=interp))
+        ms_sum = best_ms(f_sum, x, dg)
+        f_min = jax.jit(lambda x, dgg: pull_vertex_reduce(
+            x, dgg, op="min", wmode="add", interpret=interp))
+        ms_min = best_ms(f_min, x, dg)
 
         print(json.dumps({
             "metric": "value_pass_ab", "K": K,

@@ -27,6 +27,7 @@ correct configurations).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional, Union
 
@@ -403,8 +404,14 @@ def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
     push = _make_push_branch(graph, fcap, mark_preds,
                              use_pallas=pallas_pull,
                              may_rebuild=direction_optimized)
+    # GUNROCK_BFS_DEEP=0 disables the micro-loop (falls back to the
+    # general ladder): the round-4 TPU profile measured the micro round
+    # at ~0.73 ms/level vs the r2 ladder's ~0.43 — both XLA
+    # gather/scatter-bound at 8k lanes; the A/B stays runnable on
+    # hardware while the Pallas micro-kernel is built.
     deep = (_make_deep_loop(graph, fcap, mark_preds, upto)
-            if fcap >= DEEP_CAP else None)
+            if fcap >= DEEP_CAP
+            and os.environ.get("GUNROCK_BFS_DEEP", "1") == "1" else None)
 
     def _general_level(state: _State, m_f):
         dispatch_size = jnp.maximum(m_f, state.n)

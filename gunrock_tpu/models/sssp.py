@@ -525,7 +525,8 @@ def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
         branch = _make_bellman_branch(graph, fcap, pallas, fused)
     deep = (_make_deep_loop(graph, fcap, delta, mode, upto, upto_edges,
                             pallas=pallas, carry=deep_carry)
-            if fcap >= 2 * DEEP_CAP else None)
+            if fcap >= 2 * DEEP_CAP
+            and os.environ.get("GUNROCK_SSSP_DEEP", "1") == "1" else None)
 
     def cond(state: _State):
         return (state.n > 0) & (state.stats.iteration < upto) & \

@@ -110,6 +110,31 @@ def main():
                           "speedup": round(txla / max(t, 1e-9), 1)}),
               flush=True)
 
+    # ---- 3b. the actual enactor idioms at v-scale ----------------------
+    from gunrock_tpu.ops.segment import (compact, frontier_from_mask,
+                                         mask_from_frontier, scatter_set)
+    fr = jnp.asarray(np.sort(rng.choice(V, 1 << 18, replace=False))
+                     .astype(np.int32))
+    frp = jnp.concatenate([fr, jnp.full(((1 << 20) - (1 << 18),), V - 1,
+                                        jnp.int32)])
+    n = jnp.int32(1 << 18)
+    mask = jnp.zeros((V,), jnp.bool_).at[fr].set(True)
+    vals = jnp.asarray(rng.random(1 << 20).astype(np.float32))
+    win = jnp.asarray(rng.random(1 << 20) < 0.25)
+    for name, f, args in (
+        ("mask_from_frontier", jax.jit(
+            lambda q, nn: mask_from_frontier(q, nn, V)), (frp, n)),
+        ("frontier_from_mask", jax.jit(
+            lambda mk: frontier_from_mask(mk, 1 << 20)), (mask,)),
+        ("compact_1m", jax.jit(
+            lambda v, w: compact(v, w, 1 << 20, fill=0)), (frp, win)),
+        ("scatter_set_masked_1m", jax.jit(
+            lambda d, i, v, w: scatter_set(d, i, v, mask=w)),
+         (dist, frp, vals, win)),
+    ):
+        t = timed(lambda: f(*args))
+        print(json.dumps({"probe": name, "ms": round(t, 3)}), flush=True)
+
     # ---- 4. sort cost vs m --------------------------------------------
     for m in (1 << 18, 1 << 20, 1 << 23, 1 << 25):
         a = jnp.asarray(rng.integers(0, V, m).astype(np.int32))

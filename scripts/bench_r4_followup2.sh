@@ -17,4 +17,5 @@ run value_ab_fixed "python scripts/value_ab_r3.py"
 run tc_fixed "BENCH_ONLY=tc python bench_all.py"
 run sharded1_fixed "python scripts/bench_sharded1.py"
 run deep_nodeeploop "GUNROCK_BFS_DEEP=0 GUNROCK_SSSP_DEEP=0 BENCH_ONLY=deep python bench_all.py"
+run matrix_rest "bash scripts/bench_matrix.sh /root/repo/BENCH_MATRIX.jsonl"
 echo "# FOLLOWUP2 DONE $(date -u +%H:%M:%S)" >> $OUT

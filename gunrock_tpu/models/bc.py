@@ -104,11 +104,24 @@ def _make_forward_branch_fused(graph: DeviceGraph, fcap: int,
     sigma totals at distinct-destination scale — replacing the cap-scale
     claim-dedup + two label gathers + sigma scatter-add of the plain
     branch (the reference's atomicAdd functor, ``bc_functor.cuh:70-71``).
-    Winners come out ascending, so the next frontier stays sorted."""
-    from ..ops.pallas_kernels import reduce_by_dst_sorted
+    Winners come out ascending, so the next frontier stays sorted.
+
+    The destination reduction runs with the kernel's IMPROVING-ONLY
+    filter (``aux = +inf`` where the destination is undiscovered, else
+    ``-inf``), so its compacted output is exactly the newly-discovered
+    set with their sigma totals — the next frontier — and the dense
+    label/sigma updates stream through ``scatter_sorted`` (no XLA
+    scatter in the level). Contributions enter NEGATED so a float32
+    path-count overflow (sum -> -inf) still satisfies the < +inf
+    emission test — an overflowed sigma must not un-discover a vertex
+    (the reference's atomicCAS label is equally overflow-independent,
+    ``bc_functor.cuh:56-64``)."""
+    from ..ops.pallas_kernels import reduce_by_dst_sorted, scatter_sorted
+    POS = jnp.float32(jnp.inf)
+    NEG = jnp.float32(-jnp.inf)
 
     def make(cap: int):
-        out_lanes = min(cap, graph.v_pad) + 128
+        out_lanes = min(cap, graph.v_pad)
 
         def step(state: _FwdState):
             depth = state.stats.iteration + 1
@@ -124,24 +137,31 @@ def _make_forward_branch_fused(graph: DeviceGraph, fcap: int,
                                indices_are_sorted=True)
                 sig_src = jnp.take(state.sigma, ex.src,
                                    indices_are_sorted=True)
-            # Old (label < depth) destinations still join the sort; their
-            # sums are discarded by the vertex-scale label check below —
-            # cheaper than a cap-scale unsorted label gather here.
             dstm = jnp.where(ex.mask, dst, graph.v_pad)
             sd, sc = jax.lax.sort(
-                (dstm, jnp.where(ex.mask, sig_src, 0.0)), num_keys=1)
-            cids, csum, n_heads = reduce_by_dst_sorted(
-                sd, sc, op="sum", out_lanes=out_lanes)
-            lane = jnp.arange(out_lanes, dtype=jnp.int32)
-            hvalid = (lane < n_heads) & (cids < graph.v_pad)
-            ids_c = jnp.where(hvalid, cids, graph.v_pad - 1)
-            new = hvalid & (jnp.take(state.labels, ids_c) == -1)
-            ids_s = jnp.where(new, cids, graph.v_pad)
-            labels = state.labels.at[ids_s].set(depth, mode="drop")
-            sigma = state.sigma.at[ids_s].set(
-                jnp.where(new, csum, 0.0), mode="drop")
-            frontier, n = compact(cids, new, fcap)
-            return labels, sigma, frontier, n, ex.total, ex.total > cap
+                (dstm, jnp.where(ex.mask, -sig_src, 0.0)), num_keys=1)
+            lab_sd = jnp.take(state.labels,
+                              jnp.minimum(sd, graph.v_pad - 1),
+                              indices_are_sorted=True)
+            aux = jnp.where((lab_sd == -1) & (sd < graph.v_pad), POS, NEG)
+            cids, csum, n_new = reduce_by_dst_sorted(
+                sd, sc, op="sum", out_lanes=out_lanes, aux=aux)
+            labels = scatter_sorted(
+                state.labels, cids,
+                jnp.broadcast_to(depth, (out_lanes,)), count=n_new,
+                op="set")
+            sigma = scatter_sorted(state.sigma, cids, -csum, count=n_new,
+                                   op="set")
+            lane_o = jnp.arange(out_lanes, dtype=jnp.int32)
+            wq = jnp.where(lane_o < n_new, cids, graph.v_pad - 1)
+            if out_lanes >= fcap:
+                frontier = jax.lax.slice(wq, (0,), (fcap,))
+            else:
+                frontier = jnp.concatenate(
+                    [wq, jnp.full((fcap - out_lanes,), graph.v_pad - 1,
+                                  jnp.int32)])
+            return labels, sigma, frontier, n_new, ex.total, \
+                ex.total > cap
         return step
     return make
 
@@ -265,7 +285,8 @@ def _make_bwd_step(graph: DeviceGraph, labels, sigma, order_padded,
         return bstep
 
     def make_back_fused(cap: int):
-        from ..ops.pallas_kernels import reduce_by_dst_sorted
+        from ..ops.pallas_kernels import (reduce_by_dst_sorted,
+                                          scatter_sorted)
         out_lanes = min(cap, graph.v_pad) + 128
 
         def bstep(args):
@@ -296,8 +317,10 @@ def _make_bwd_step(graph: DeviceGraph, labels, sigma, order_padded,
                 hvalid,
                 jnp.take(sigma, ids_c, indices_are_sorted=True) * csum,
                 0.0)
-            delta = delta.at[jnp.where(hvalid, cids, graph.v_pad)].add(
-                vals, mode="drop", indices_are_sorted=True)
+            # Dense update through the Pallas sorted-scatter kernel
+            # (ids ascending + unique by construction of the reduce).
+            delta = scatter_sorted(delta, cids, vals, count=n_heads,
+                                   op="add")
             return delta, ex.total
         return bstep
 

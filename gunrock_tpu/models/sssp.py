@@ -133,35 +133,30 @@ def _winner_minimize_fused(dist, dst, cand, mask, v_pad: int,
     """Fused-kernel winner resolution — option (c) of the round-2 design
     sketch (``doc/perf_notes.md`` "dst-bucketed two-pass kernel"): after
     ONE sort by destination, the Pallas destination-reduction kernel
-    (:func:`gunrock_tpu.ops.pallas_kernels.reduce_by_dst_sorted`) emits
-    one compacted ``(id, min)`` pair per DISTINCT destination, so the
-    improvement test, the dist update and the next-queue compaction all
-    run at distinct-destination (<= vertex) scale instead of edge scale.
-    Same role as the reference's fused atomicMin advance
-    (``sssp_functor.cuh:59-99``); bitwise-identical dist/winners to
-    :func:`_winner_minimize`. Returns ``(dist', ids, vals, win)`` with
-    ``ids/vals/win`` at ``out_lanes`` scale (ids ascending; ``win`` =
-    strictly-improving heads, the next frontier)."""
-    from ..ops.pallas_kernels import reduce_by_dst_sorted
+    (:func:`gunrock_tpu.ops.pallas_kernels.reduce_by_dst_sorted`) runs
+    with the IMPROVING-ONLY filter (``aux = dist[sd]``, a sorted
+    gather), so its compacted output is exactly the strictly-improving
+    winner set — the next frontier — with the new distances; the dense
+    dist update then streams through the Pallas
+    :func:`~gunrock_tpu.ops.pallas_kernels.scatter_sorted` kernel.
+    No XLA scatter anywhere: the whole post-sort round is two Pallas
+    passes plus vertex-scale selects. Same role as the reference's
+    fused atomicMin advance (``sssp_functor.cuh:59-99``);
+    bitwise-identical dist/winners to :func:`_winner_minimize`.
+    Returns ``(dist', ids, vals, n_win)`` — ids ascending, the first
+    ``n_win`` lanes are the improving winners and their distances."""
+    from ..ops.pallas_kernels import reduce_by_dst_sorted, scatter_sorted
     cand = jnp.where(mask, cand, INF)
     dstm = jnp.where(mask, dst, v_pad - 1)
     sd, sc = jax.lax.sort((dstm, cand), num_keys=1)
-    cids, cvals, n_heads = reduce_by_dst_sorted(sd, sc, op="min",
-                                                out_lanes=out_lanes)
-    # n_heads <= #distinct dsts <= min(cap, v_pad) == out_lanes: the
-    # kernel's append window cannot overflow by construction.
-    lane = jnp.arange(out_lanes, dtype=jnp.int32)
-    hvalid = lane < n_heads
-    ids_s = jnp.where(hvalid, cids, v_pad)      # ascending; OOB tail drops
-    vals_s = jnp.where(hvalid, cvals, INF)
-    d_old = jnp.take(dist, jnp.where(hvalid, cids, v_pad - 1),
-                     indices_are_sorted=True)
-    win = hvalid & (vals_s < d_old)
-    # Non-improving heads scatter-min as no-ops; keeping them in the
-    # index stream preserves the sorted-indices fast path.
-    dist2 = dist.at[ids_s].min(vals_s, mode="drop",
-                               indices_are_sorted=True)
-    return dist2, cids, cvals, win
+    d_old = jnp.take(dist, sd, indices_are_sorted=True)
+    cids, cvals, n_win = reduce_by_dst_sorted(sd, sc, op="min",
+                                              out_lanes=out_lanes,
+                                              aux=d_old)
+    # n_win <= #distinct improving dsts <= min(cap, v_pad) == out_lanes:
+    # the kernel's append window cannot overflow by construction.
+    dist2 = scatter_sorted(dist, cids, cvals, count=n_win, op="min")
+    return dist2, cids, cvals, n_win
 
 
 def _bisect(dist, delta, level, near, active):
@@ -210,10 +205,20 @@ def _relax(graph: DeviceGraph, state: _State, cap: int, fcap: int,
                 with_dst=False)
     dst, w, dsrc = _relax_payload(graph, state.dist, ex, use_pallas)
     if fused:
-        dist, cids, _, win = _winner_minimize_fused(
-            state.dist, dst, dsrc + w, ex.mask, graph.v_pad,
-            min(cap, graph.v_pad))
-        nf, n_next = compact(cids, win, fcap, fill=graph.v_pad - 1)
+        out_lanes = min(cap, graph.v_pad)
+        dist, cids, _, n_win = _winner_minimize_fused(
+            state.dist, dst, dsrc + w, ex.mask, graph.v_pad, out_lanes)
+        # The kernel output IS the compacted next queue: pad/slice to
+        # the fcap-wide queue buffer (no compaction scatter).
+        lane_o = jnp.arange(out_lanes, dtype=jnp.int32)
+        wq = jnp.where(lane_o < n_win, cids, graph.v_pad - 1)
+        if out_lanes >= fcap:
+            nf = jax.lax.slice(wq, (0,), (fcap,))
+        else:
+            nf = jnp.concatenate(
+                [wq, jnp.full((fcap - out_lanes,), graph.v_pad - 1,
+                              jnp.int32)])
+        n_next = n_win
     else:
         dist, sd, win, _ = _winner_minimize(state.dist, dst, dsrc + w,
                                             ex.mask, graph.v_pad)

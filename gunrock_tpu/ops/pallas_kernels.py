@@ -939,10 +939,16 @@ def _flat_shift_down(x: jax.Array, step: int) -> jax.Array:
     return jnp.where(lanepos < LANE - step, a, b)
 
 
-def _reduce_sorted_kernel(op: str, out_rows: int,
-                          sd_ref, sn_ref, sc_ref,
-                          oid_ref, oval_ref, cnt_ref,
-                          wid, wval, pid, pval, smi, smf, sems):
+def _reduce_sorted_kernel(op: str, out_rows: int, filtered: bool,
+                          *refs):
+    if filtered:
+        (sd_ref, sn_ref, sc_ref, aux_ref,
+         oid_ref, oval_ref, cnt_ref,
+         wid, wval, pid, pval, smi, smf, sems) = refs
+    else:
+        (sd_ref, sn_ref, sc_ref,
+         oid_ref, oval_ref, cnt_ref,
+         wid, wval, pid, pval, smi, smf, sems) = refs
     k = pl.program_id(0)
     identity = jnp.float32(jnp.inf if op == "min" else 0.0)
 
@@ -976,6 +982,14 @@ def _reduce_sorted_kernel(op: str, out_rows: int,
     smi[0, 0] = sd[_RED_TILE_ROWS - 1, LANE - 1]
 
     tails = sd != sn                   # last lane of each GLOBAL run
+    if filtered:
+        # Emit a run iff its full reduction IMPROVES on the aux stream
+        # (aux is constant within a run: callers gather it per sorted
+        # destination). scan at the tail holds the whole-run value, so
+        # this is the SSSP strict-improvement test / the BC "newly
+        # discovered" test fused into the compaction — the kernel's
+        # output becomes the next frontier itself.
+        tails = tails & (scan < aux_ref[...])
     # Target slot (within the appended stream segment starting at the
     # current partial fill p) and the down-shift for the router.
     p = smi[0, 2]
@@ -1064,15 +1078,16 @@ def _reduce_sorted_kernel(op: str, out_rows: int,
 
 
 @functools.partial(jax.jit, static_argnames=("op", "out_rows", "interpret"))
-def _reduce_sorted_2d(sd2d, sn2d, sc2d, *, op: str, out_rows: int,
+def _reduce_sorted_2d(sd2d, sn2d, sc2d, *aux2d, op: str, out_rows: int,
                       interpret: bool):
     m = sd2d.shape[0]
-    kernel = functools.partial(_reduce_sorted_kernel, op, out_rows)
+    kernel = functools.partial(_reduce_sorted_kernel, op, out_rows,
+                               bool(aux2d))
     return pl.pallas_call(
         kernel,
         grid=(m // _RED_TILE_ROWS,),
         in_specs=[pl.BlockSpec((_RED_TILE_ROWS, LANE), lambda k: (k, 0),
-                               memory_space=pltpu.VMEM)] * 3,
+                               memory_space=pltpu.VMEM)] * (3 + len(aux2d)),
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
@@ -1087,7 +1102,7 @@ def _reduce_sorted_2d(sd2d, sn2d, sc2d, *, op: str, out_rows: int,
                         pltpu.SMEM((1, 1), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
-    )(sd2d, sn2d, sc2d)
+    )(sd2d, sn2d, sc2d, *aux2d)
 
 
 # --------------------------------------------------------------------------
@@ -1296,7 +1311,8 @@ def scatter_sorted(dense: jax.Array, ids: jax.Array, vals: jax.Array, *,
 
 
 def reduce_by_dst_sorted(sd: jax.Array, vals: jax.Array, *, op: str = "min",
-                         out_lanes: int, interpret: bool = False):
+                         out_lanes: int, aux: Optional[jax.Array] = None,
+                         interpret: bool = False):
     """Reduce ``vals`` by runs of equal (sorted, nondecreasing) ``sd``.
 
     Returns ``(ids, rvals, count)``: one lane per DISTINCT ``sd`` value —
@@ -1305,6 +1321,15 @@ def reduce_by_dst_sorted(sd: jax.Array, vals: jax.Array, *, op: str = "min",
     mask). ``count > out_lanes`` signals overflow (appends were clamped;
     treat like a failed ``Check_Size``). The stream pads (to a tile
     multiple) by extending the final run with identity values.
+
+    ``aux`` (f32, constant within each run — e.g. ``dist[sd]`` via a
+    sorted gather) switches on the IMPROVING-ONLY filter: a run is
+    emitted iff its full reduction is strictly below its aux value.
+    With ``op='min'`` / ``aux=dist[sd]`` the output is exactly SSSP's
+    improving-winner set (the fused atomicMin of the reference,
+    ``sssp_functor.cuh:59-99``, including the next-frontier compaction);
+    with ``op='sum'`` / ``aux = +inf where new else -inf`` it is BC's
+    newly-discovered set with their sigma totals.
     """
     m = sd.shape[0]
     tile = _RED_TILE_ROWS * LANE
@@ -1314,12 +1339,20 @@ def reduce_by_dst_sorted(sd: jax.Array, vals: jax.Array, *, op: str = "min",
         sd = jnp.concatenate([sd, jnp.broadcast_to(sd[-1:], (m_pad - m,))])
         vals = jnp.concatenate(
             [vals, jnp.full((m_pad - m,), identity, vals.dtype)])
+        if aux is not None:
+            # The pad extends the FINAL run, so its tail lane (where the
+            # filter reads aux) lands in the pad: pad with the run's own
+            # aux value, not a sentinel.
+            aux = jnp.concatenate(
+                [aux, jnp.broadcast_to(aux[-1:], (m_pad - m,))])
     sn = jnp.concatenate([sd[1:], jnp.full((1,), 2**31 - 1, jnp.int32)])
     out_rows = -(-out_lanes // LANE) + _RED_WIN_ROWS
     out_rows = ((out_rows + 7) // 8) * 8
+    aux2d = () if aux is None else (
+        aux.astype(jnp.float32).reshape(-1, LANE),)
     ids2d, vals2d, cnt = _reduce_sorted_2d(
         sd.reshape(-1, LANE), sn.reshape(-1, LANE),
-        vals.astype(jnp.float32).reshape(-1, LANE),
+        vals.astype(jnp.float32).reshape(-1, LANE), *aux2d,
         op=op, out_rows=out_rows, interpret=interpret)
     return (ids2d.reshape(-1)[:out_lanes], vals2d.reshape(-1)[:out_lanes],
             cnt[0, 0])

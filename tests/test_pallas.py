@@ -290,6 +290,40 @@ def test_reduce_by_dst_sorted_interpret(m, nv, op):
                                    rtol=1e-5)
 
 
+def test_reduce_by_dst_sorted_filtered():
+    """The improving-only filter (aux stream): emitted runs are exactly
+    those whose full reduction is strictly below aux — SSSP's winner
+    set / BC's newly-discovered set, compacted in-kernel."""
+    from gunrock_tpu.ops.pallas_kernels import reduce_by_dst_sorted
+    rng = np.random.default_rng(11)
+    m, nv = 20000, 3000
+    sd = np.sort(rng.integers(0, nv, m).astype(np.int32))
+    vals = rng.random(m).astype(np.float32)
+    dist = rng.random(nv).astype(np.float32)
+    aux = dist[sd]
+    ids, rv, cnt = reduce_by_dst_sorted(
+        jnp.asarray(sd), jnp.asarray(vals), op="min", out_lanes=4096,
+        aux=jnp.asarray(aux), interpret=True)
+    ids_u = np.unique(sd)
+    runmin = np.array([vals[sd == i].min() for i in ids_u])
+    keep = runmin < dist[ids_u]
+    cnt = int(cnt)
+    assert cnt == int(keep.sum())
+    np.testing.assert_array_equal(np.asarray(ids)[:cnt], ids_u[keep])
+    np.testing.assert_array_equal(np.asarray(rv)[:cnt], runmin[keep])
+    # -inf aux suppresses every run; +inf emits every run (even -inf
+    # sums — the BC overflow guard relies on this).
+    _, _, c0 = reduce_by_dst_sorted(
+        jnp.asarray(sd), jnp.asarray(vals), op="min", out_lanes=4096,
+        aux=jnp.full((m,), -np.inf, np.float32), interpret=True)
+    assert int(c0) == 0
+    _, _, c1 = reduce_by_dst_sorted(
+        jnp.asarray(sd), jnp.full((m,), -np.inf, jnp.float32), op="sum",
+        out_lanes=4096, aux=jnp.full((m,), np.inf, np.float32),
+        interpret=True)
+    assert int(c1) == len(ids_u)
+
+
 def test_reduce_by_dst_sorted_overflow_and_giant_run():
     from gunrock_tpu.ops.pallas_kernels import reduce_by_dst_sorted
     rng = np.random.default_rng(7)
@@ -326,7 +360,10 @@ def test_sssp_fused_relax_matches_xla(rmat_small):
                 level=jnp.float32(0.0), stats=init_stats())
 
     orig = pk._reduce_sorted_2d
+    origs = pk._scatter_sorted_2d
     pk._reduce_sorted_2d = lambda *a, **kw: orig(
+        *a, **{**kw, "interpret": True})
+    pk._scatter_sorted_2d = lambda *a, **kw: origs(
         *a, **{**kw, "interpret": True})
     try:
         # two rounds: seed frontier, then the broad second frontier
@@ -344,6 +381,7 @@ def test_sssp_fused_relax_matches_xla(rmat_small):
                             m_f=ref[3])
     finally:
         pk._reduce_sorted_2d = orig
+        pk._scatter_sorted_2d = origs
 
 
 def test_bc_fused_matches_plain(chesapeake):
@@ -361,13 +399,17 @@ def test_bc_fused_matches_plain(chesapeake):
                                            fcap=dg.v_pad, caps=caps)
 
     orig = pk._reduce_sorted_2d
+    origs = pk._scatter_sorted_2d
     pk._reduce_sorted_2d = lambda *a, **kw: orig(
+        *a, **{**kw, "interpret": True})
+    pk._scatter_sorted_2d = lambda *a, **kw: origs(
         *a, **{**kw, "interpret": True})
     try:
         bc_v, sig, lab, _ = _bc_loop(dg, jnp.int32(src), fcap=dg.v_pad,
                                      caps=caps, fused=True)
     finally:
         pk._reduce_sorted_2d = orig
+        pk._scatter_sorted_2d = origs
 
     np.testing.assert_array_equal(np.asarray(lab), np.asarray(ref_lab))
     np.testing.assert_allclose(np.asarray(sig), np.asarray(ref_sig),
@@ -388,13 +430,17 @@ def test_bc_fused_matches_plain_rmat(rmat_small):
     ref_bc, ref_sig, ref_lab, _ = _bc_loop(dg, jnp.int32(src),
                                            fcap=dg.v_pad, caps=caps)
     orig = pk._reduce_sorted_2d
+    origs = pk._scatter_sorted_2d
     pk._reduce_sorted_2d = lambda *a, **kw: orig(
+        *a, **{**kw, "interpret": True})
+    pk._scatter_sorted_2d = lambda *a, **kw: origs(
         *a, **{**kw, "interpret": True})
     try:
         bc_v, sig, lab, _ = _bc_loop(dg, jnp.int32(src), fcap=dg.v_pad,
                                      caps=caps, fused=True)
     finally:
         pk._reduce_sorted_2d = orig
+        pk._scatter_sorted_2d = origs
     np.testing.assert_array_equal(np.asarray(lab), np.asarray(ref_lab))
     np.testing.assert_allclose(np.asarray(sig), np.asarray(ref_sig),
                                rtol=1e-4)

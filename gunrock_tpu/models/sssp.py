@@ -260,6 +260,15 @@ def _pull_relax(graph: DeviceGraph, state: _State, fcap: int):
 DEEP_CAP = 8192
 
 
+def _pull_divisor() -> int:
+    """Full-pull dispatch threshold divisor: pull when m_f > E/div.
+    Env-tunable (GUNROCK_SSSP_PULL_DIV) so the hardware A/B can sweep
+    the push/pull crossover without a code edit; the default 16 is the
+    round-2 measured crossover for the ~100ns/lane XLA push soup — the
+    fused Pallas push (~5-10 ns/lane) wants a much higher divisor."""
+    return max(1, int(os.environ.get("GUNROCK_SSSP_PULL_DIV", "16")))
+
+
 def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
                     upto: jax.Array, upto_edges: jax.Array,
                     pallas: bool = False, carry: bool = False):
@@ -544,7 +553,7 @@ def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
             # pull pass costs ~fixed; the streamed push costs ~40ns per
             # frontier edge, so pull only wins for very large rounds.
             big = state.m_f > jnp.int32(
-                max(1, min(graph.num_edges // 16, 2**30)))
+                max(1, min(graph.num_edges // _pull_divisor(), 2**30)))
             out = jax.lax.cond(
                 big, branch(None),
                 lambda st: dispatch_by_size(
@@ -672,7 +681,7 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
     import time as _time
     t0 = _time.perf_counter()
     deep_on = fcap >= 2 * DEEP_CAP
-    pull_thresh = max(1, min(graph.num_edges // 16, 2**30)) \
+    pull_thresh = max(1, min(graph.num_edges // _pull_divisor(), 2**30)) \
         if (use_pallas and graph.has_blocked_values) else None
     if instrument is not None:
         prev_dispatch = max(int(np.asarray(

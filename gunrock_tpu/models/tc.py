@@ -42,14 +42,19 @@ class TcResult:
     info: dict
 
 
-@partial(jax.jit, static_argnames=("num_edges", "wedge_cap"))
+@partial(jax.jit, static_argnames=("wedge_cap",))
 def tc_device(row_offsets: jax.Array, col_indices: jax.Array,
               edge_src: jax.Array, chunk_src: jax.Array,
-              chunk_dst: jax.Array, *, num_edges: int, wedge_cap: int):
-    """Per-edge triangle counts for one edge chunk of an oriented CSR."""
+              chunk_dst: jax.Array, *, num_edges, wedge_cap: int):
+    """Per-edge triangle counts for one edge chunk of an oriented CSR.
+
+    ``num_edges`` is a TRACED scalar: chunks have different live edge
+    counts, and making it static recompiled the whole 9M-lane sort-join
+    graph once per chunk (~minutes each on TPU — the round-4 tc row's
+    hidden 15-minute wall)."""
     counts, vcounts, wedges = intersect_counts(
         row_offsets, col_indices, edge_src, chunk_src, chunk_dst,
-        num_edges, wedge_cap)
+        jnp.asarray(num_edges, jnp.int32), wedge_cap)
     return counts, vcounts, jnp.sum(counts, dtype=jnp.int32), wedges
 
 

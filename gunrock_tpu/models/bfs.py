@@ -230,8 +230,22 @@ def _make_push_branch(graph: DeviceGraph, fcap: int, mark_preds: bool,
 DEEP_CAP = 8192
 
 
+def _deep_rungs(env: str, default: int) -> tuple:
+    """Micro-loop rung widths from a comma env list (ascending). Each
+    rung gets its own while_loop whose every op runs at that width —
+    serial scatter/gather lanes dominate the micro round, so a level
+    with 600 frontier edges on a 2048 rung costs ~4x less than on the
+    8192 rung. Dispatch between rungs happens at STRETCH granularity
+    (outer-body lax.cond) — a rung switch per round would copy the
+    V-scale carried state every level (measured 5x, doc/perf_notes.md)."""
+    raw = os.environ.get(env, "")
+    if not raw:
+        return (default,)
+    return tuple(sorted({int(x) for x in raw.split(",") if x}))
+
+
 def _make_deep_loop(graph: DeviceGraph, fcap: int, mark_preds: bool,
-                    upto: jax.Array):
+                    upto: jax.Array, C: int = DEEP_CAP):
     """Deep-graph regime: many tiny levels (road/grid diameters).
 
     The general push rung pays per-level costs that dwarf a tiny
@@ -246,7 +260,6 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, mark_preds: bool,
     or at the ``upto`` chunk bound. Reference context: the small-frontier
     path of the LB advance (RelaxLightEdges,
     ``oprtr/edge_map_partitioned/kernel.cuh:355``)."""
-    C = DEEP_CAP
     lane = jnp.arange(C, dtype=jnp.int32)
     # Loop-invariant (XLA's while-LICM hoists it out of the micro loop):
     # one degree gather per round instead of two row_offsets gathers.
@@ -409,9 +422,15 @@ def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
     # at ~0.73 ms/level vs the r2 ladder's ~0.43 — both XLA
     # gather/scatter-bound at 8k lanes; the A/B stays runnable on
     # hardware while the Pallas micro-kernel is built.
-    deep = (_make_deep_loop(graph, fcap, mark_preds, upto)
-            if fcap >= DEEP_CAP
-            and os.environ.get("GUNROCK_BFS_DEEP", "1") == "1" else None)
+    # GUNROCK_BFS_DEEP_RUNGS="2048,8192" builds one micro-loop per rung
+    # (see _deep_rungs); the largest rung is the deep-regime boundary.
+    deeps = []
+    if os.environ.get("GUNROCK_BFS_DEEP", "1") == "1":
+        deeps = [(c, _make_deep_loop(graph, fcap, mark_preds, upto, C=c))
+                 for c in _deep_rungs("GUNROCK_BFS_DEEP_RUNGS", DEEP_CAP)
+                 if fcap >= c]
+    deep = deeps[-1][1] if deeps else None
+    deep_cap_max = deeps[-1][0] if deeps else DEEP_CAP
 
     def _general_level(state: _State, m_f):
         dispatch_size = jnp.maximum(m_f, state.n)
@@ -474,7 +493,7 @@ def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
             stats=stats,
         )
 
-    def _deep_entry(state: _State):
+    def _deep_entry(state: _State, d=None):
         # Pull levels (and the single-source fast path) leave the queue
         # unmaterialized; the micro-loop needs a real queue — rebuild it
         # once per stretch from the label mask (v-scale, amortized over
@@ -488,7 +507,23 @@ def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
         st = dataclasses.replace(state, frontier=frontier0, n=n0,
                                  fvalid=jnp.bool_(True),
                                  use_pull=jnp.bool_(False))
-        return deep(st)
+        return (deep if d is None else d)(st)
+
+    def _deep_dispatch(state: _State):
+        # Smallest micro rung that fits this stretch's entry size; the
+        # rung's own micro_cond spills back out when the wavefront
+        # outgrows it (chained conds, stretch granularity).
+        ds = jnp.maximum(state.m_f, state.n)
+
+        def level(i):
+            if i == len(deeps) - 1:
+                return lambda s: _deep_entry(s, deeps[i][1])
+            return lambda s: jax.lax.cond(
+                ds <= deeps[i][0],
+                lambda ss: _deep_entry(ss, deeps[i][1]),
+                level(i + 1), s)
+
+        return level(0)(state)
 
     def body(state: _State):
         m_f = state.m_f
@@ -504,7 +539,7 @@ def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
             # (the CLI default runs DO) live here almost entirely.
             if deep is not None:
                 return jax.lax.cond(
-                    dispatch_size <= DEEP_CAP, _deep_entry,
+                    dispatch_size <= deep_cap_max, _deep_dispatch,
                     lambda s: _do_level(s, m_f), state)
             return _do_level(state, m_f)
         if deep is not None:
@@ -512,7 +547,7 @@ def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
             # in the rung-scale micro-loop; this body only sees the
             # levels whose frontiers outgrow it.
             return jax.lax.cond(
-                dispatch_size <= DEEP_CAP, deep,
+                dispatch_size <= deep_cap_max, _deep_dispatch,
                 lambda s: _general_level(s, m_f), state)
         return _general_level(state, m_f)
 

@@ -271,7 +271,8 @@ def _pull_divisor() -> int:
 
 def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
                     upto: jax.Array, upto_edges: jax.Array,
-                    pallas: bool = False, carry: bool = False):
+                    pallas: bool = False, carry: bool = False,
+                    C: int = DEEP_CAP):
     """Deep-graph regime: many tiny relaxation rounds (road/grid
     diameters). Mirrors the BFS micro-loop (``models/bfs.py``) but keeps
     true near-far scheduling: the rung-scale QUEUE carries every vertex
@@ -293,7 +294,6 @@ def _make_deep_loop(graph: DeviceGraph, fcap: int, delta, mode: str,
     per-round dist gather, the per-edge source-dist gather, and the
     2C-wide degree re-gather all collapse to rung-scale takes; the one
     remaining big gather per round is the winners' degrees."""
-    C = DEEP_CAP
     lane = jnp.arange(C, dtype=jnp.int32)
     lane2 = jnp.arange(2 * C, dtype=jnp.int32)
     SENT = jnp.int32(0x7FFFFFF0)
@@ -537,10 +537,18 @@ def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
         branch = _make_nearfar_branch(graph, fcap, delta, pallas, fused)
     else:
         branch = _make_bellman_branch(graph, fcap, pallas, fused)
-    deep = (_make_deep_loop(graph, fcap, delta, mode, upto, upto_edges,
-                            pallas=pallas, carry=deep_carry)
-            if fcap >= 2 * DEEP_CAP
-            and os.environ.get("GUNROCK_SSSP_DEEP", "1") == "1" else None)
+    # Micro-rung ladder (see models/bfs._deep_rungs): one micro-loop per
+    # rung width, dispatched at stretch granularity.
+    from .bfs import _deep_rungs
+    deeps = []
+    if os.environ.get("GUNROCK_SSSP_DEEP", "1") == "1":
+        deeps = [(c, _make_deep_loop(graph, fcap, delta, mode, upto,
+                                     upto_edges, pallas=pallas,
+                                     carry=deep_carry, C=c))
+                 for c in _deep_rungs("GUNROCK_SSSP_DEEP_RUNGS", DEEP_CAP)
+                 if fcap >= 2 * c]
+    deep = deeps[-1][1] if deeps else None
+    deep_cap_max = deeps[-1][0] if deeps else DEEP_CAP
 
     def cond(state: _State):
         return (state.n > 0) & (state.stats.iteration < upto) & \
@@ -568,12 +576,23 @@ def _sssp_loop(graph: DeviceGraph, state, upto: jax.Array,
         return _State(dist=dist, frontier=frontier, n=n, m_f=m_f,
                       active=active, level=level, stats=stats)
 
+    def deep_dispatch(state: _State):
+        ds = jnp.maximum(state.m_f, state.n)
+
+        def level(i):
+            if i == len(deeps) - 1:
+                return deeps[i][1]
+            return lambda s: jax.lax.cond(ds <= deeps[i][0], deeps[i][1],
+                                          level(i + 1), s)
+
+        return level(0)(state)
+
     def body(state: _State):
         if deep is None:
             return general(state)
         return jax.lax.cond(
-            jnp.maximum(state.m_f, state.n) <= DEEP_CAP, deep, general,
-            state)
+            jnp.maximum(state.m_f, state.n) <= deep_cap_max,
+            deep_dispatch, general, state)
 
     out = jax.lax.while_loop(cond, body, state)
     # m_f rides in the packed probe so instrumented mode attributes each

@@ -35,24 +35,21 @@ import numpy as np  # noqa: E402
 
 RUNS = int(os.environ.get("BENCH_RUNS", "4"))
 V = 1 << 20
-REPEAT = 64     # fold each op into a while_loop of REPEAT to amortize
-                # the ~26ms dispatch floor out of sub-ms measurements
-
-
 def fence(x):
     np.asarray(np.asarray(jax.tree_util.tree_leaves(x)[0]).reshape(-1)[:1])
     return x
 
 
-def timed_loop(step, init):
-    """Best-of wall of a jitted while_loop running `step` REPEAT times;
-    returns per-iteration ms."""
+def timed_loop(step, init, repeat: int = 1024):
+    """Best-of wall of a jitted while_loop running `step` `repeat`
+    times; returns per-iteration ms. The loop amortizes the ~26-110 ms
+    dispatch/sync tail that swamps per-call timing of sub-ms ops."""
     @jax.jit
     def run(x):
         def body(c):
             i, x = c
             return i + 1, step(x)
-        return jax.lax.while_loop(lambda c: c[0] < REPEAT, body,
+        return jax.lax.while_loop(lambda c: c[0] < repeat, body,
                                   (jnp.int32(0), x))[1]
 
     fence(run(init))
@@ -61,7 +58,7 @@ def timed_loop(step, init):
         t0 = time.perf_counter()
         fence(run(init))
         best = min(best, time.perf_counter() - t0)
-    return best * 1e3 / REPEAT
+    return best * 1e3 / repeat
 
 
 def main():
@@ -137,6 +134,61 @@ def main():
         for k, v in out.items():
             print(json.dumps({"probe": k, "C": C,
                               "us": round(v * 1e3, 1)}), flush=True)
+
+    # ---- Pallas kernels under the while_loop harness (per-call probes
+    # cannot separate the ~30-110 ms dispatch/sync tail from device
+    # time; probe_scatter_r4's inline-jit rows measured COMPILE time) —
+    from gunrock_tpu.ops.pallas_kernels import (reduce_by_dst_sorted,
+                                                scatter_sorted)
+    for m in (1 << 13, 1 << 18, 1 << 20):
+        ids = np.unique(rng.integers(0, V, m).astype(np.int32))
+        cnt = len(ids)
+        cap = -(-cnt // 4096) * 4096
+        idsp = np.full(cap, 2**31 - 1, np.int32)
+        idsp[:cnt] = ids
+        idsj = jnp.asarray(idsp)
+        valsj = jnp.asarray(rng.random(cap).astype(np.float32))
+        base = jnp.asarray(rng.random(V).astype(np.float32))
+        ms = timed_loop(
+            lambda d: scatter_sorted(d, idsj, valsj, count=cnt, op="min"),
+            base, repeat=16)
+        print(json.dumps({"probe": "scatter_sorted_loop", "m": cnt,
+                          "V": V, "ms": round(ms, 3)}), flush=True)
+        msx = timed_loop(
+            lambda d: d.at[idsj].min(valsj, mode="drop"), base, repeat=16)
+        print(json.dumps({"probe": "xla_scatter_loop", "m": cap, "V": V,
+                          "ms": round(msx, 3)}), flush=True)
+
+    m = 1 << 20
+    sd = jnp.asarray(np.sort(rng.integers(0, V, m).astype(np.int32)))
+    vals = jnp.asarray(rng.random(m).astype(np.float32))
+    dist = jnp.asarray(rng.random(V).astype(np.float32))
+    ms = timed_loop(
+        lambda v: reduce_by_dst_sorted(sd, v, op="min",
+                                       out_lanes=V)[1][:m],
+        vals, repeat=16)
+    print(json.dumps({"probe": "reduce_by_dst_loop", "m": m,
+                      "out_lanes": V, "ms": round(ms, 3)}), flush=True)
+    aux = jnp.take(dist, sd, indices_are_sorted=True)
+    ms = timed_loop(
+        lambda v: reduce_by_dst_sorted(sd, v, op="min", out_lanes=V,
+                                       aux=aux)[1][:m],
+        vals, repeat=16)
+    print(json.dumps({"probe": "reduce_by_dst_filtered_loop", "m": m,
+                      "out_lanes": V, "ms": round(ms, 3)}), flush=True)
+    ms = timed_loop(
+        lambda v: jax.lax.sort((sd, v), num_keys=1)[1], vals, repeat=16)
+    print(json.dumps({"probe": "sort_1key_payload_loop", "m": m,
+                      "ms": round(ms, 3)}), flush=True)
+    ms = timed_loop(
+        lambda v: jax.lax.sort((sd, v), num_keys=2)[1], vals, repeat=16)
+    print(json.dumps({"probe": "sort_2key_loop", "m": m,
+                      "ms": round(ms, 3)}), flush=True)
+    ms = timed_loop(
+        lambda v: jnp.take(dist, sd, indices_are_sorted=True) + v, vals,
+        repeat=16)
+    print(json.dumps({"probe": "take_sorted_loop", "m": m,
+                      "ms": round(ms, 3)}), flush=True)
 
 
 if __name__ == "__main__":

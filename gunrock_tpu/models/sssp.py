@@ -673,12 +673,19 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
     fcap = max(128, int(graph.v_pad * min(queue_sizing, 1.0)))
     out_cap = max(128, int(graph.e_pad * min(queue_sizing, 1.0)))
     caps = tuple(capacity_ladder(out_cap, step=4))
+    if fused is None:
+        fused = jax.default_backend() == "tpu" and \
+            os.environ.get("GUNROCK_SSSP_FUSED", "0") == "1"
+    if fused:
+        # Fused-round cost is ~linear in the RUNG CAP (sort + sorted
+        # takes + the Pallas reduce/scatter all run at cap lanes), so
+        # the step-4 ladder's up-to-4x cap overshoot is pure waste —
+        # use step-2 rungs below 4M and step-4 above (bounded compile).
+        fine = capacity_ladder(min(out_cap, 1 << 22), step=2)
+        caps = tuple(fine + [c for c in caps if c > (1 << 22)])
     if max_iters is None:
         max_iters = 4 * graph.num_nodes + 16
     use_pallas = jax.default_backend() == "tpu"
-    if fused is None:
-        fused = use_pallas and \
-            os.environ.get("GUNROCK_SSSP_FUSED", "0") == "1"
     if chunk_iters is None:
         # Many micro rounds per chunk are fine (each is DEEP_CAP-scale);
         # the edge budget below is what bounds big rounds.

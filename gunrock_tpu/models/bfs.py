@@ -417,15 +417,17 @@ def _bfs_loop(graph: DeviceGraph, state, upto: jax.Array, *,
     push = _make_push_branch(graph, fcap, mark_preds,
                              use_pallas=pallas_pull,
                              may_rebuild=direction_optimized)
-    # GUNROCK_BFS_DEEP=0 disables the micro-loop (falls back to the
-    # general ladder): the round-4 TPU profile measured the micro round
-    # at ~0.73 ms/level vs the r2 ladder's ~0.43 — both XLA
-    # gather/scatter-bound at 8k lanes; the A/B stays runnable on
-    # hardware while the Pallas micro-kernel is built.
-    # GUNROCK_BFS_DEEP_RUNGS="2048,8192" builds one micro-loop per rung
-    # (see _deep_rungs); the largest rung is the deep-regime boundary.
+    # Deep micro-loop default: OFF on TPU — the round-4 A/B measured the
+    # general ladder at 3.5 MTEPS vs the fixed-8192 micro-loop's 2.2 on
+    # bfs_deep_grid1024 (the ladder's per-level ops run at the level's
+    # own rung; the micro round paid fixed-8k serial scatter/gather
+    # lanes). GUNROCK_BFS_DEEP=1 re-enables;
+    # GUNROCK_BFS_DEEP_RUNGS="512,2048,8192" builds one micro-loop per
+    # rung (see _deep_rungs) — the projected match to the ladder, kept
+    # opt-in until measured.
+    deep_default = "0" if jax.default_backend() == "tpu" else "1"
     deeps = []
-    if os.environ.get("GUNROCK_BFS_DEEP", "1") == "1":
+    if os.environ.get("GUNROCK_BFS_DEEP", deep_default) == "1":
         deeps = [(c, _make_deep_loop(graph, fcap, mark_preds, upto, C=c))
                  for c in _deep_rungs("GUNROCK_BFS_DEEP_RUNGS", DEEP_CAP)
                  if fcap >= c]

@@ -662,10 +662,12 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
     ``deep_carry`` enables queue value-carry in the deep micro-loop
     (defaults to the GUNROCK_SSSP_CARRY env var; see _make_deep_loop).
     ``fused`` routes general-round winner resolution through the Pallas
-    destination-reduction kernel (default OFF: the round-4 TPU A/B
-    measured a ~128 ms fixed cost in the reduction kernel that erases
-    its asymptotic win — bench_r4_auto fused_ab rows; enable with
-    GUNROCK_SSSP_FUSED=1)."""
+    filtered destination-reduction + sorted-scatter kernels (default
+    OFF pending the step-2-ladder re-measure; enable with
+    GUNROCK_SSSP_FUSED=1). Loop-amortized probes put the kernels at
+    ~8 ms each in-program at V=1M — the earlier "~128 ms floor" was
+    per-call dispatch/compile contamination (BENCH.md round-4) — and
+    the fused A/B read 30.1 vs 28.5 MTEPS before the fine ladder."""
     if deep_carry is None:
         deep_carry = os.environ.get("GUNROCK_SSSP_CARRY", "0") == "1"
     if not graph.has_edge_values:

@@ -195,6 +195,8 @@ def main():
     if device_ms is not None and device_ms > 0:
         rec["device_ms"] = round(device_ms, 3)
         rec["device_mteps"] = round(edges_visited / (device_ms * 1000.0), 1)
+    from gunrock_tpu.utils.baseline import annotate
+    annotate(rec, "bfs", "rmat", mteps)
     print(json.dumps(rec))
 
 

@@ -102,12 +102,15 @@ def best_ms(fn, runs=RUNS):
     return best * 1e3
 
 
-def emit(name, ms, edges, extra=None):
+def emit(name, ms, edges, extra=None, primitive=None, graph_kind=None):
     rec = {"metric": name, "elapsed_ms": round(ms, 3),
            "value": round(edges / (ms * 1000.0), 1), "unit": "MTEPS",
            "edges_counted": int(edges)}
     if extra:
         rec.update(extra)
+    if primitive is not None:
+        from gunrock_tpu.utils.baseline import annotate
+        annotate(rec, primitive, graph_kind or "rmat", rec["value"])
     print(json.dumps(rec), flush=True)
 
 
@@ -149,7 +152,8 @@ def main():
                                         direction_optimized=not meshy,
                                         max_iters=16384))
         emit(f"bfs_do_{tag}" if not meshy else f"bfs_{tag}", ms, ev,
-             {"search_depth": int(np.asarray(out[0]).max())})
+             {"search_depth": int(np.asarray(out[0]).max())},
+             primitive="bfs", graph_kind=kind)
 
     def row_sssp():
         from gunrock_tpu.models.sssp import sssp_device
@@ -170,7 +174,8 @@ def main():
         ms = best_ms(lambda: sssp_device(dgw, src, mode=mode,
                                          delta=delta))
         emit(f"sssp_{tag}", ms, ev,
-             {"iters": int(out[2].iteration), "mode": mode})
+             {"iters": int(out[2].iteration), "mode": mode},
+             primitive="sssp", graph_kind=kind)
 
     def row_pr():
         from gunrock_tpu.models.pr import pagerank_device
@@ -183,7 +188,8 @@ def main():
         ms = best_ms(lambda: pagerank_device(dgc, max_iters=20,
                                              threshold=0.0))
         emit(f"pr_{tag}", ms / iters, E,
-             {"note": "per-iteration", "iters": iters})
+             {"note": "per-iteration", "iters": iters},
+             primitive="pr", graph_kind=kind)
 
     def row_hits():
         from gunrock_tpu.models.hits import hits_device
@@ -205,7 +211,8 @@ def main():
                            blocked_cache=blockedv_cache)
         out = jax.block_until_ready(cc_device(dge))
         ms = best_ms(lambda: cc_device(dge))
-        emit(f"cc_{tag}", ms, E, {"iters": int(out[2].iteration)})
+        emit(f"cc_{tag}", ms, E, {"iters": int(out[2].iteration)},
+             primitive="cc", graph_kind=kind)
 
     def row_bc():
         from gunrock_tpu.models.bc import bc_device
@@ -213,7 +220,7 @@ def main():
                            blocked_cache=blockedv_cache)
         out = jax.block_until_ready(bc_device(dgb, src))
         ms = best_ms(lambda: bc_device(dgb, src))
-        emit(f"bc_{tag}", ms, 2 * E)
+        emit(f"bc_{tag}", ms, 2 * E, primitive="bc", graph_kind=kind)
 
     def row_deep():
         # Deep/high-diameter regime (road-like): non-DO BFS over a grid —
@@ -229,7 +236,7 @@ def main():
         depth = int(np.asarray(out[0]).max())
         ms = best_ms(lambda: bfs_device(dgg, 0))
         emit("bfs_deep_grid1024", ms, gg.num_edges,
-             {"search_depth": depth})
+             {"search_depth": depth}, primitive="bfs", graph_kind="grid")
         del dgg
 
         # SSSP near-far on the same road-like graph (reference road_usa
@@ -244,7 +251,8 @@ def main():
             sssp_device(dgw, 0, mode="nearfar", delta=256.0))
         ms = best_ms(lambda: sssp_device(dgw, 0, mode="nearfar",
                                          delta=256.0))
-        emit("sssp_deep_grid1024", ms, gg.num_edges)
+        emit("sssp_deep_grid1024", ms, gg.num_edges,
+             primitive="sssp", graph_kind="grid")
 
     def row_tc():
         # TC wedge volume on hub-heavy rmat grows superlinearly; the TC

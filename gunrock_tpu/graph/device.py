@@ -48,9 +48,12 @@ def round_up(x: int, m: int = LANE) -> int:
         "bcsc_sample_valid", "bcsc_wcell_pos", "bcsc_csrc", "bcsc_cdst",
         "bcsc_cellword", "bcsc_val",
         "bcsc_vsample_pos", "bcsc_vsample_valid",
+        "pv2_src", "pv2_dst", "pv2_val", "pv2_wpr", "pv2_gob",
+        "pv2_d0row", "pv2_pos",
     ],
     meta_fields=["num_nodes", "num_edges", "v_pad", "e_pad",
-                 "bcsc_groups", "bcsc_rows_per_group", "bcsc_block_rows"],
+                 "bcsc_groups", "bcsc_rows_per_group", "bcsc_block_rows",
+                 "pv2_groups", "pv2_block_rows", "pv2_span_rows"],
 )
 @dataclasses.dataclass(frozen=True)
 class DeviceGraph:
@@ -112,10 +115,27 @@ class DeviceGraph:
     bcsc_groups: int = 0                            # K (0 = not built)
     bcsc_rows_per_group: int = 0                    # bitmask rows per group
     bcsc_block_rows: int = 0                        # kernel block height
+    # Pull-v2 layout (graph/pull2.py): write-minimal VMEM-accumulator
+    # value pull. Decoupled grouping (1024-vertex units), span-split
+    # blocks, sign-encoded static result positions.
+    pv2_src: Optional[jax.Array] = None             # (E2,) int32
+    pv2_dst: Optional[jax.Array] = None             # (E2,) int32
+    pv2_val: Optional[jax.Array] = None             # (E2,) float32
+    pv2_wpr: Optional[jax.Array] = None             # (E2,) f32 1/outdeg[src]
+    pv2_gob: Optional[jax.Array] = None             # (nblocks,) int32
+    pv2_d0row: Optional[jax.Array] = None           # (nblocks,) int32
+    pv2_pos: Optional[jax.Array] = None             # (K*v_pad,) int32 enc
+    pv2_groups: int = 0
+    pv2_block_rows: int = 0
+    pv2_span_rows: int = 0
+
+    @property
+    def has_pull2(self) -> bool:
+        return self.pv2_pos is not None
 
     @property
     def has_blocked_values(self) -> bool:
-        return self.bcsc_vsample_pos is not None
+        return self.bcsc_vsample_pos is not None or self.pv2_pos is not None
 
     @property
     def has_csc(self) -> bool:
@@ -431,12 +451,20 @@ def to_device(
             csc_ev = jnp.asarray(_pad_edges(tv.astype(np.float32), e_pad, 0.0))
         csc_dst = jnp.asarray(_edge_seg_ids(t.row_offsets, t.num_nodes, e_pad, v_pad))
 
+    # Pull-v2 value layout (graph/pull2.py): preferred whenever the
+    # VMEM accumulator fits (rows_v <= 16384 = v_pad 2M); the round-4
+    # sampled layout stays as the big-V / rect fallback.
+    pull2_ok = (with_blocked_values and not sizet64
+                and 32 <= v_pad // LANE <= 16384
+                and os.environ.get("GUNROCK_PULL2", "1") != "0")
+
     blocked = {}
-    if with_blocked_csc or with_blocked_values:
+    if with_blocked_csc or (with_blocked_values and not pull2_ok):
         # 1024-row blocks ≈ 131K edges/grid-step: grid-step overhead
         # (~6µs each) would otherwise dominate the bitmask pull kernel
         # (rows_per_group is small, so per-block compute is light).
         br = blocked_block_rows or (1024 if e_pad >= (1 << 22) else 8)
+        need_vsamples = with_blocked_values and not pull2_ok
         built = None
         if blocked_cache and os.path.exists(blocked_cache):
             # The blocked layout is expensive to build (host lexsort over
@@ -450,7 +478,7 @@ def to_device(
                         and "v_pad" in z.files
                         and int(z["v_pad"]) == v_pad
                         and ("bcsc_cellword" in z.files or br < 32)
-                        and bool(z["has_vsamples"]) >= with_blocked_values):
+                        and bool(z["has_vsamples"]) >= need_vsamples):
                     built = {k: jnp.asarray(z[k]) for k in z.files
                              if k.startswith("bcsc_")}
                     built["bcsc_groups"] = int(z["groups"])
@@ -458,7 +486,7 @@ def to_device(
                     built["bcsc_block_rows"] = int(z["block_rows"])
         if built is None:
             built = build_blocked_csc(
-                g, v_pad, br, with_vertex_samples=with_blocked_values,
+                g, v_pad, br, with_vertex_samples=need_vsamples,
                 K=blocked_groups)
             if built is not None and blocked_cache:
                 arrs = {k: np.asarray(v) for k, v in built.items()
@@ -479,6 +507,53 @@ def to_device(
                     pass
         if built is not None:
             blocked = built
+
+    if pull2_ok:
+        from .pull2 import PULL2_VERSION, build_pull2
+        k2 = int(os.environ.get("GUNROCK_PULL2_K", "64"))
+        br2 = int(os.environ.get("GUNROCK_PULL2_BR", "512"))
+        sp2 = int(os.environ.get("GUNROCK_PULL2_SPAN", "1024"))
+        cache2 = (blocked_cache + f".pv2.npz") if blocked_cache else None
+        p2 = None
+        if cache2 and os.path.exists(cache2):
+            with np.load(cache2) as z:
+                if (int(z["version"]) == PULL2_VERSION
+                        and int(z["k"]) == k2 and int(z["br"]) == br2
+                        and int(z["sp"]) == sp2
+                        and int(z["v_pad"]) == v_pad
+                        and bool(z["has_val"]) >= with_edge_values):
+                    p2 = {f: z[f] for f in z.files if f.startswith("pv2_")}
+                    p2["pv2_groups"] = int(z["groups"])
+                    p2["pv2_block_rows"] = int(z["block_rows"])
+                    p2["pv2_span_rows"] = int(z["span_rows"])
+        if p2 is None:
+            vals = None
+            if with_edge_values:
+                vals = g.edge_values
+                if vals is None:
+                    vals = np.ones(g.num_edges, dtype=np.float32)
+            p2 = build_pull2(g.edge_sources(), g.col_indices, vals, v_pad,
+                             groups=k2, block_rows=br2, span_rows=sp2,
+                             with_invdeg=True)
+            if cache2:
+                arrs = {f: np.asarray(v) for f, v in p2.items()
+                        if f.startswith("pv2_") and not isinstance(v, int)}
+                arrs.update(version=np.int64(PULL2_VERSION),
+                            k=np.int64(k2), br=np.int64(br2),
+                            sp=np.int64(sp2), v_pad=np.int64(v_pad),
+                            has_val=np.bool_(with_edge_values),
+                            groups=np.int64(p2["pv2_groups"]),
+                            block_rows=np.int64(p2["pv2_block_rows"]),
+                            span_rows=np.int64(p2["pv2_span_rows"]))
+                try:
+                    tmp = cache2 + ".tmp"
+                    with open(tmp, "wb") as f:
+                        np.savez(f, **arrs)
+                    os.replace(tmp, cache2)
+                except OSError:
+                    pass
+        for f, v in p2.items():
+            blocked[f] = v if isinstance(v, int) else jnp.asarray(v)
 
     return DeviceGraph(
         num_nodes=g.num_nodes,

@@ -542,11 +542,18 @@ def pull_vertex_reduce(values: jax.Array, graph, *, op: str = "sum",
                        interpret: bool = False) -> jax.Array:
     """(v_pad,) per-vertex reduce over in-edges: out[v] = op over
     in-edges (u,v) of f(values[u], w), with f per ``wmode``
-    ("none" / "add" / "mul"). Uses the blocked-CSC layout + static
-    vertex sampling; identity for vertices with no in-edges.
+    ("none" / "add" / "mul"); identity for vertices with no in-edges.
+
+    Dispatches to the write-minimal pull-v2 kernel (``ops/pull2.py``)
+    when the graph carries that layout; the round-4 sampled pipeline
+    below remains the big-V / rectangular (sharded) fallback.
     """
     assert graph.has_blocked_values, \
         "needs to_device(with_blocked_values=True)"
+    if getattr(graph, "has_pull2", False):
+        from .pull2 import pull_reduce2
+        return pull_reduce2(values, graph, op=op, wmode=wmode,
+                            interpret=interpret)
     K = graph.bcsc_groups
     rpg_v = graph.bcsc_rows_per_group * 32
     fill = 0.0 if op == "sum" else jnp.inf

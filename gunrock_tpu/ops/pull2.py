@@ -1,0 +1,259 @@
+"""Write-minimal blocked value pull (v2): VMEM-accumulator pull-reduce.
+
+out[v] = op over in-edges (u, v) of f(values[u], w_uv), computed in ONE
+pallas kernel that writes ONLY the (v_pad,) result. See
+``graph/pull2.py`` for the layout and the measured cost law that forces
+this shape (HBM writes ~0.5-3.3 GB/s on the tunnel vs reads 40-70 GB/s:
+the round-4 pipeline's E-scale scan + K*V sample writes were ~93% of
+its 145 ms/pass).
+
+Per block (one grid step, sequential on the TPU core):
+
+1. gather ``values[src]`` by scanning the block's group table slice
+   (``rpg_v`` rows resident in VMEM; per-lane take_along_axis handles
+   the lane axis for free, rows are scanned in 8-row slabs),
+2. segmented reduce by destination (inclusive scan, carry spliced
+   across blocks, carry reset at group boundaries),
+3. extract each destination run's full value at its static ``lastpos``
+   slot (sign-encoded positions DMA'd per block; monotone 8-row slab
+   walk over the VMEM scan — dynamic fori bounds skip untouched slabs),
+4. combine the dense (span_rows, 128) window into the VMEM-resident
+   accumulator (= the kernel output, constant index_map: flushed to HBM
+   once at grid end).
+
+Replaces the reference's atomic pull accumulation
+(``gunrock/oprtr/edge_map_backward/kernel.cuh``,
+``app/pr/pr_functor.cuh:60-75`` atomicAdd) with a deterministic
+single-writer reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_kernels import _seg_scan_val
+
+__all__ = ["pull_reduce2", "PULL2_MAX_ROWS"]
+
+LANE = 128
+PULL2_MAX_ROWS = 16384       # accumulator rows cap (8 MB f32 VMEM at 16k)
+
+
+def _identity(op: str) -> float:
+    return 0.0 if op == "sum" else float("inf")
+
+
+def _combine(op: str):
+    return (lambda a, b: a + b) if op == "sum" else jnp.minimum
+
+
+def _pull2_kernel(rows_v: int, rpg_v: int, span_rows: int, block_rows: int,
+                  op: str, wmode: str, has_init: bool, ablate: str, *refs):
+    i = 0
+    gob_ref, d0_ref = refs[0], refs[1]
+    i = 2
+    t_ref, src_ref, dst_ref = refs[i], refs[i + 1], refs[i + 2]
+    i += 3
+    w_ref = None
+    if wmode in ("add", "mul"):
+        w_ref = refs[i]
+        i += 1
+    pos_ref = refs[i]
+    i += 1
+    init_ref = None
+    if has_init:
+        init_ref = refs[i]
+        i += 1
+    o_ref, scan_ref, posbuf, smi, smf, sem = refs[i:i + 6]
+
+    k = pl.program_id(0)
+    g = gob_ref[k]
+    d0 = d0_ref[k]
+    identity = jnp.float32(_identity(op))
+    combine = _combine(op)
+    BE = block_rows * LANE
+
+    # positions window DMA (overlaps the gather/scan below)
+    cp = pltpu.make_async_copy(
+        pos_ref.at[pl.ds(g * rows_v + d0, span_rows), :], posbuf, sem)
+    cp.start()
+
+    @pl.when(k == 0)
+    def _():
+        if has_init:
+            o_ref[...] = init_ref[...]
+        else:
+            o_ref[...] = jnp.full((rows_v, LANE), identity, jnp.float32)
+        smi[0, 0] = -1            # carry dst key
+        smi[0, 1] = -1            # carry group
+        smf[0, 0] = identity
+
+    src = src_ref[...]
+    dst = dst_ref[...]
+    shape = src.shape
+
+    vrow_l = jax.lax.shift_right_logical(src, 7) - g * rpg_v
+    vlane = src & (LANE - 1)
+
+    def body(gg, acc):
+        slab = t_ref[pl.ds(gg * 8, 8), :]
+        for u in range(8):
+            rowv = jnp.broadcast_to(slab[u:u + 1, :], shape)
+            rowc = jnp.take_along_axis(rowv, vlane, axis=1)
+            acc = jnp.where(vrow_l == gg * 8 + u, rowc, acc)
+        return acc
+
+    if ablate == "nogather":       # probe hook: charge everything else
+        val = src.astype(jnp.float32) * 1e-9
+    else:
+        val = jax.lax.fori_loop(0, rpg_v // 8, body,
+                                jnp.full(shape, identity, jnp.float32))
+    if wmode == "add":
+        val = val + w_ref[...]
+    elif wmode == "mul":
+        val = val * w_ref[...]
+    elif wmode == "incr":        # unit weights without a w stream (BFS)
+        val = val + 1.0
+
+    # carry splice, guarded by group (a fresh group's leading run may
+    # reuse the previous group's final dst id — round-4 layouts relied
+    # on pad-dst luck here; v2 makes the reset explicit)
+    splice = (dst == smi[0, 0]) & (g == smi[0, 1])
+    if op == "min":
+        val = jnp.where(splice, jnp.minimum(val, smf[0, 0]), val)
+    else:
+        rowpos = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lanepos = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        first = (rowpos == 0) & (lanepos == 0) & splice
+        val = jnp.where(first, val + smf[0, 0], val)
+
+    scan = _seg_scan_val(val, dst, op)
+    scan_ref[...] = scan
+    smf[0, 0] = scan[block_rows - 1, LANE - 1]
+    smi[0, 0] = dst[block_rows - 1, LANE - 1]
+    smi[0, 1] = g
+
+    cp.wait()
+    if ablate == "noextract":      # probe hook: gather+scan cost only
+        o_ref[pl.ds(d0, 8), :] = jnp.broadcast_to(
+            scan[0:1, :], (8, LANE))
+        return
+    base = k * BE
+    for t in range(span_rows // 32):
+        enc = posbuf[t * 32:(t + 1) * 32, :]
+        p = enc & 0x7FFFFFFF
+        local = p - base
+        ok = (enc >= 0) & (local >= 0) & (local < BE)
+        lcl = jnp.clip(local, 0, BE - 1)
+        lrow = jax.lax.shift_right_logical(lcl, 7)
+        llane = lcl & (LANE - 1)
+        # masked positions are nondecreasing: visit only slabs c0..c1
+        c0 = jax.lax.shift_right_logical(lcl[0, 0], 10)
+        c1 = jax.lax.shift_right_logical(lcl[31, LANE - 1], 10)
+
+        def visit(c, acc):
+            slab = scan_ref[pl.ds(c * 8, 8), :]
+            for u in range(8):
+                rowv = jnp.broadcast_to(slab[u:u + 1, :], (32, LANE))
+                sel = ok & (lrow == c * 8 + u)
+                acc = jnp.where(
+                    sel, jnp.take_along_axis(rowv, llane, axis=1), acc)
+            return acc
+
+        contrib = jax.lax.fori_loop(
+            c0, c1 + 1, visit, jnp.full((32, LANE), identity, jnp.float32))
+        cur = o_ref[pl.ds(d0 + t * 32, 32), :]
+        o_ref[pl.ds(d0 + t * 32, 32), :] = combine(cur, contrib)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "rows_v", "rpg_v", "span_rows", "block_rows", "op", "wmode",
+    "interpret", "ablate"))
+def _pull2_call(table, src2d, dst2d, w2d, pos2d, init2d, gob, d0row, *,
+                rows_v: int, rpg_v: int, span_rows: int, block_rows: int,
+                op: str, wmode: str, interpret: bool,
+                ablate: str = "full"):
+    nblocks = src2d.shape[0] // block_rows
+    kernel = functools.partial(
+        _pull2_kernel, rows_v, rpg_v, span_rows, block_rows, op, wmode,
+        init2d is not None, ablate)
+    in_specs = [
+        pl.BlockSpec((rpg_v, LANE), lambda k, go, dr: (go[k], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, LANE), lambda k, go, dr: (k, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, LANE), lambda k, go, dr: (k, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [table, src2d, dst2d]
+    if wmode in ("add", "mul"):
+        in_specs.append(pl.BlockSpec((block_rows, LANE),
+                                     lambda k, go, dr: (k, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(w2d)
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))      # positions
+    args.append(pos2d)
+    if init2d is not None:
+        in_specs.append(pl.BlockSpec((rows_v, LANE),
+                                     lambda k, go, dr: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(init2d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblocks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rows_v, LANE), lambda k, go, dr: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_rows, LANE), jnp.float32),   # scan
+            pltpu.VMEM((span_rows, LANE), jnp.int32),      # positions
+            pltpu.SMEM((1, 2), jnp.int32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows_v, LANE), jnp.float32),
+        interpret=interpret,
+    )(gob, d0row, *args)
+
+
+def pull_reduce2(values: jax.Array, graph, *, op: str = "sum",
+                 wmode: str = "none", init: Optional[jax.Array] = None,
+                 weights: str = "val", ablate: str = "full",
+                 interpret: bool = False) -> jax.Array:
+    """v2 pull-reduce over in-edges using the graph's ``pv2_*`` layout.
+
+    ``wmode``: "none" (values[u]), "add" (values[u]+w), "mul"
+    (values[u]*w), "incr" (values[u]+1, no weight stream). ``weights``
+    picks the stream for add/mul: "val" (edge values) or "wpr"
+    (1/out-degree[src], PageRank contributions). ``init`` seeds the
+    accumulator (e.g. current dist for SSSP pull); identity otherwise.
+    """
+    assert graph.has_pull2, "graph lacks the pull2 layout"
+    rows_v = graph.v_pad // LANE
+    table = values.astype(jnp.float32).reshape(rows_v, LANE)
+    w2d = None
+    if wmode in ("add", "mul"):
+        w = graph.pv2_val if weights == "val" else graph.pv2_wpr
+        assert w is not None, f"pull2 layout lacks the {weights} stream"
+        w2d = w.reshape(-1, LANE)
+    init2d = None if init is None else \
+        init.astype(jnp.float32).reshape(rows_v, LANE)
+    out = _pull2_call(
+        table, graph.pv2_src.reshape(-1, LANE),
+        graph.pv2_dst.reshape(-1, LANE), w2d,
+        graph.pv2_pos.reshape(-1, LANE), init2d,
+        graph.pv2_gob, graph.pv2_d0row,
+        rows_v=rows_v, rpg_v=rows_v // graph.pv2_groups,
+        span_rows=graph.pv2_span_rows, block_rows=graph.pv2_block_rows,
+        op=op, wmode=wmode, interpret=interpret, ablate=ablate)
+    return out.reshape(-1)

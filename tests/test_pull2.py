@@ -1,0 +1,138 @@
+"""Pull-v2 kernel vs numpy oracle (interpret mode on the CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import gunrock_tpu as gt
+from gunrock_tpu.graph.pull2 import build_pull2
+from gunrock_tpu.graph.device import DeviceGraph, round_up
+from gunrock_tpu.ops.pull2 import pull_reduce2
+
+import jax.numpy as jnp
+
+
+def _oracle(src, dst, vals, w, v_pad, op, wmode):
+    x = vals[src].astype(np.float64)
+    if wmode == "add":
+        x = x + w
+    elif wmode == "mul":
+        x = x * w
+    elif wmode == "incr":
+        x = x + 1.0
+    out = np.full(v_pad, 0.0 if op == "sum" else np.inf)
+    for d, v in zip(dst, x):
+        out[d] = out[d] + v if op == "sum" else min(out[d], v)
+    return out.astype(np.float32)
+
+
+def _graph_device(src, dst, w, v_pad, groups, block_rows=32,
+                  span_rows=32):
+    p2 = build_pull2(src, dst, w, v_pad, groups=groups,
+                     block_rows=block_rows, span_rows=span_rows,
+                     with_invdeg=True)
+    fields = {k: (v if isinstance(v, int) else jnp.asarray(v))
+              for k, v in p2.items()}
+    return DeviceGraph(
+        num_nodes=v_pad, num_edges=len(src), v_pad=v_pad,
+        e_pad=round_up(max(len(src), 1)),
+        row_offsets=jnp.zeros(v_pad + 1, jnp.int32),
+        col_indices=jnp.zeros(1, jnp.int32), edge_values=None,
+        edge_src=None, csc_offsets=None, csc_indices=None,
+        csc_edge_values=None, csc_edge_dst=None, **fields)
+
+
+@pytest.mark.parametrize("op,wmode", [("sum", "none"), ("min", "add"),
+                                      ("sum", "mul"), ("min", "incr")])
+@pytest.mark.parametrize("groups", [1, 4])
+def test_pull2_random(op, wmode, groups):
+    rng = np.random.default_rng(hash((op, wmode, groups)) % 2**31)
+    v_pad = 4096
+    m = 20000
+    src = rng.integers(0, v_pad, m)
+    dst = rng.integers(0, v_pad, m)
+    w = rng.random(m).astype(np.float32)
+    vals = rng.random(v_pad).astype(np.float32)
+    dg = _graph_device(src, dst, w, v_pad, groups)
+    out = np.asarray(pull_reduce2(jnp.asarray(vals), dg, op=op,
+                                  wmode=wmode, interpret=True))
+    ref = _oracle(src, dst, vals, w, v_pad, op, wmode)
+    if op == "min":
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
+    else:
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-5)
+
+
+def test_pull2_span_splits_and_straddles():
+    """Sparse far-apart dsts force span splits; a giant run straddles
+    blocks; a run crosses a group boundary with the SAME dst id."""
+    rng = np.random.default_rng(0)
+    v_pad = 4096
+    src = []
+    dst = []
+    # giant run: dst 7 with 3000 in-edges (straddles 32-row blocks)
+    src += list(rng.integers(0, v_pad, 3000))
+    dst += [7] * 3000
+    # sparse tail: single edges to far-apart dsts
+    for d in range(0, v_pad, 97):
+        src.append(int(rng.integers(0, v_pad)))
+        dst.append(d)
+    # same dst from the last vertex of group 0 and first of group 1
+    src += [1023, 1024, 2047, 2048]
+    dst += [4095, 4095, 0, 0]
+    src = np.array(src)
+    dst = np.array(dst)
+    w = rng.random(len(src)).astype(np.float32)
+    vals = rng.random(v_pad).astype(np.float32)
+    dg = _graph_device(src, dst, w, v_pad, groups=4, block_rows=8,
+                       span_rows=32)
+    for op, wmode in (("sum", "none"), ("min", "add")):
+        out = np.asarray(pull_reduce2(jnp.asarray(vals), dg, op=op,
+                                      wmode=wmode, interpret=True))
+        ref = _oracle(src, dst, vals, w, v_pad, op, wmode)
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-5)
+
+
+def test_pull2_init_and_wpr():
+    rng = np.random.default_rng(3)
+    v_pad = 4096
+    m = 8000
+    src = rng.integers(0, v_pad, m)
+    dst = rng.integers(0, v_pad, m)
+    vals = rng.random(v_pad).astype(np.float32)
+    init = rng.random(v_pad).astype(np.float32)
+    dg = _graph_device(src, dst, np.ones(m, np.float32), v_pad, 4)
+    out = np.asarray(pull_reduce2(
+        jnp.asarray(vals), dg, op="min", wmode="none",
+        init=jnp.asarray(init), interpret=True))
+    ref = np.minimum(_oracle(src, dst, vals, np.ones(m), v_pad, "min",
+                             "none"), init)
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+    # wpr stream: contribution vals[u]/outdeg[u]
+    out = np.asarray(pull_reduce2(jnp.asarray(vals), dg, op="sum",
+                                  wmode="mul", weights="wpr",
+                                  interpret=True))
+    deg = np.bincount(src, minlength=v_pad).astype(np.float64)
+    contrib = vals / np.maximum(deg, 1)
+    ref = _oracle(src, dst, contrib.astype(np.float32),
+                  np.ones(m), v_pad, "sum", "none")
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-5)
+
+
+def test_pull2_through_to_device():
+    """to_device builds pv2 and pull_vertex_reduce dispatches to it."""
+    rng = np.random.default_rng(5)
+    n = 5000
+    m = 30000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g = gt.from_coo(n, src, dst, undirected=False)
+    g.random_edge_values(seed=2)
+    dg = gt.to_device(g, with_edge_values=True, with_blocked_values=True)
+    assert dg.has_pull2
+    from gunrock_tpu.ops.pallas_kernels import pull_vertex_reduce
+    vals = rng.random(dg.v_pad).astype(np.float32)
+    out = np.asarray(pull_vertex_reduce(jnp.asarray(vals), dg, op="min",
+                                        wmode="add", interpret=True))
+    es, ed = g.edge_sources(), g.col_indices
+    ref = _oracle(es, ed, vals, g.edge_values, dg.v_pad, "min", "add")
+    np.testing.assert_allclose(out[:n], ref[:n], rtol=1e-6)

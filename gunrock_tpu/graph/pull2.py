@@ -42,7 +42,7 @@ import numpy as np
 __all__ = ["build_pull2", "PULL2_VERSION"]
 
 LANE = 128
-PULL2_VERSION = 3          # bump to invalidate .npz caches on layout change
+PULL2_VERSION = 4          # bump to invalidate .npz caches on layout change
 INVALID = np.int32(-2**31)  # sign bit: position slot has no run tail
 
 
@@ -129,6 +129,7 @@ def build_pull2(src: np.ndarray, dst: np.ndarray,
     bwpr = np.zeros(total, np.float32) if wprs is not None else None
     gob = np.zeros(nblocks, np.int32)
     d0row = np.zeros(nblocks, np.int32)
+    ntile = np.zeros(nblocks, np.int32)   # live 32-row window tiles
     bgroup_slot = np.zeros(total, np.int32)     # group id per slot
 
     for b, (k, e, end) in enumerate(cuts):
@@ -148,6 +149,9 @@ def build_pull2(src: np.ndarray, dst: np.ndarray,
         else:
             first_row = 0
         d0row[b] = min(max(first_row, 0), rows_v - span_rows)
+        if n:
+            last_row = int(ds[end - 1]) >> 7
+            ntile[b] = (last_row - int(d0row[b])) // 32 + 1
         bgroup_slot[o:o + BE] = k
 
     # Run tails on the padded stream: last slot of each (group, dst) run.
@@ -180,6 +184,7 @@ def build_pull2(src: np.ndarray, dst: np.ndarray,
         pv2_dst=bdst,
         pv2_gob=gob,
         pv2_d0row=d0row,
+        pv2_nt=ntile,
         pv2_pos=enc,
         pv2_groups=K,
         pv2_block_rows=block_rows,

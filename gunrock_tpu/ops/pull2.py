@@ -56,8 +56,8 @@ def _combine(op: str):
 def _pull2_kernel(rows_v: int, rpg_v: int, span_rows: int, block_rows: int,
                   op: str, wmode: str, has_init: bool, ablate: str, *refs):
     i = 0
-    gob_ref, d0_ref = refs[0], refs[1]
-    i = 2
+    gob_ref, d0_ref, nt_ref = refs[0], refs[1], refs[2]
+    i = 3
     t_ref, src_ref, dst_ref = refs[i], refs[i + 1], refs[i + 2]
     i += 3
     w_ref = None
@@ -145,37 +145,48 @@ def _pull2_kernel(rows_v: int, rpg_v: int, span_rows: int, block_rows: int,
             scan[0:1, :], (8, LANE))
         return
     base = k * BE
+    nt = nt_ref[k]
+    slab_rows = min(32, block_rows)       # 32-row visits amortize the
+    sshift = slab_rows.bit_length() + 6   # dynamic-slice/loop overhead
     for t in range(span_rows // 32):
-        enc = posbuf[t * 32:(t + 1) * 32, :]
-        p = enc & 0x7FFFFFFF
-        local = p - base
-        ok = (enc >= 0) & (local >= 0) & (local < BE)
-        lcl = jnp.clip(local, 0, BE - 1)
-        lrow = jax.lax.shift_right_logical(lcl, 7)
-        llane = lcl & (LANE - 1)
-        # masked positions are nondecreasing: visit only slabs c0..c1
-        c0 = jax.lax.shift_right_logical(lcl[0, 0], 10)
-        c1 = jax.lax.shift_right_logical(lcl[31, LANE - 1], 10)
+        # dead window tiles (beyond the block's static tail span) cost
+        # one scalar compare; their accumulator rows stay untouched.
+        @pl.when(t < nt)
+        def _():
+            enc = posbuf[t * 32:(t + 1) * 32, :]
+            p = enc & 0x7FFFFFFF
+            local = p - base
+            ok = (enc >= 0) & (local >= 0) & (local < BE)
+            lcl = jnp.clip(local, 0, BE - 1)
+            lrow = jax.lax.shift_right_logical(lcl, 7)
+            llane = lcl & (LANE - 1)
+            # masked positions are nondecreasing: visit only the scan
+            # slabs c0..c1
+            c0 = jax.lax.shift_right_logical(lcl[0, 0], sshift)
+            c1 = jax.lax.shift_right_logical(lcl[31, LANE - 1], sshift)
 
-        def visit(c, acc):
-            slab = scan_ref[pl.ds(c * 8, 8), :]
-            for u in range(8):
-                rowv = jnp.broadcast_to(slab[u:u + 1, :], (32, LANE))
-                sel = ok & (lrow == c * 8 + u)
-                acc = jnp.where(
-                    sel, jnp.take_along_axis(rowv, llane, axis=1), acc)
-            return acc
+            def visit(c, acc):
+                slab = scan_ref[pl.ds(c * slab_rows, slab_rows), :]
+                for u in range(slab_rows):
+                    rowv = jnp.broadcast_to(slab[u:u + 1, :], (32, LANE))
+                    sel = ok & (lrow == c * slab_rows + u)
+                    acc = jnp.where(
+                        sel, jnp.take_along_axis(rowv, llane, axis=1),
+                        acc)
+                return acc
 
-        contrib = jax.lax.fori_loop(
-            c0, c1 + 1, visit, jnp.full((32, LANE), identity, jnp.float32))
-        cur = o_ref[pl.ds(d0 + t * 32, 32), :]
-        o_ref[pl.ds(d0 + t * 32, 32), :] = combine(cur, contrib)
+            contrib = jax.lax.fori_loop(
+                c0, c1 + 1, visit,
+                jnp.full((32, LANE), identity, jnp.float32))
+            cur = o_ref[pl.ds(d0 + t * 32, 32), :]
+            o_ref[pl.ds(d0 + t * 32, 32), :] = combine(cur, contrib)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "rows_v", "rpg_v", "span_rows", "block_rows", "op", "wmode",
     "interpret", "ablate"))
-def _pull2_call(table, src2d, dst2d, w2d, pos2d, init2d, gob, d0row, *,
+def _pull2_call(table, src2d, dst2d, w2d, pos2d, init2d, gob, d0row,
+                nt, *,
                 rows_v: int, rpg_v: int, span_rows: int, block_rows: int,
                 op: str, wmode: str, interpret: bool,
                 ablate: str = "full"):
@@ -184,31 +195,32 @@ def _pull2_call(table, src2d, dst2d, w2d, pos2d, init2d, gob, d0row, *,
         _pull2_kernel, rows_v, rpg_v, span_rows, block_rows, op, wmode,
         init2d is not None, ablate)
     in_specs = [
-        pl.BlockSpec((rpg_v, LANE), lambda k, go, dr: (go[k], 0),
+        pl.BlockSpec((rpg_v, LANE), lambda k, go, dr, ntr: (go[k], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_rows, LANE), lambda k, go, dr: (k, 0),
+        pl.BlockSpec((block_rows, LANE), lambda k, go, dr, ntr: (k, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_rows, LANE), lambda k, go, dr: (k, 0),
+        pl.BlockSpec((block_rows, LANE), lambda k, go, dr, ntr: (k, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [table, src2d, dst2d]
     if wmode in ("add", "mul"):
         in_specs.append(pl.BlockSpec((block_rows, LANE),
-                                     lambda k, go, dr: (k, 0),
+                                     lambda k, go, dr, ntr: (k, 0),
                                      memory_space=pltpu.VMEM))
         args.append(w2d)
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))      # positions
     args.append(pos2d)
     if init2d is not None:
         in_specs.append(pl.BlockSpec((rows_v, LANE),
-                                     lambda k, go, dr: (0, 0),
+                                     lambda k, go, dr, ntr: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(init2d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nblocks,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((rows_v, LANE), lambda k, go, dr: (0, 0),
+        out_specs=pl.BlockSpec((rows_v, LANE),
+                               lambda k, go, dr, ntr: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((block_rows, LANE), jnp.float32),   # scan
@@ -223,7 +235,7 @@ def _pull2_call(table, src2d, dst2d, w2d, pos2d, init2d, gob, d0row, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rows_v, LANE), jnp.float32),
         interpret=interpret,
-    )(gob, d0row, *args)
+    )(gob, d0row, nt, *args)
 
 
 def pull_reduce2(values: jax.Array, graph, *, op: str = "sum",
@@ -252,7 +264,7 @@ def pull_reduce2(values: jax.Array, graph, *, op: str = "sum",
         table, graph.pv2_src.reshape(-1, LANE),
         graph.pv2_dst.reshape(-1, LANE), w2d,
         graph.pv2_pos.reshape(-1, LANE), init2d,
-        graph.pv2_gob, graph.pv2_d0row,
+        graph.pv2_gob, graph.pv2_d0row, graph.pv2_nt,
         rows_v=rows_v, rpg_v=rows_v // graph.pv2_groups,
         span_rows=graph.pv2_span_rows, block_rows=graph.pv2_block_rows,
         op=op, wmode=wmode, interpret=interpret, ablate=ablate)

@@ -137,13 +137,21 @@ def _pull_frontier_words(labels, depth, axis: str, comm_latency: int):
     return inject_latency(gwords, comm_latency)
 
 
-def _pull_finish(state, reached, deg, csc_row, depth, p: int, S: int):
+def _pull_finish(state, reached, deg, csc_row, depth, p: int, S: int,
+                 pred_cand=None):
     """Shared tail of both pull supersteps: label the newly reached
     vertices, emit local counters + byte accounting. The frontier queue
     is left stale; push rebuilds it lazily from labels."""
     labels, preds, frontier, n, m_f = state
     new_mask = (labels == -1) & reached
     labels = jnp.where(new_mask, depth, labels)
+    if pred_cand is not None:
+        # vertex-associate fill for pull-discovered vertices: the first
+        # frontier in-neighbor (global id), computed on device — the
+        # reference ships preds with Make_Output/Expand_Incoming
+        # (app/enactor_kernel.cuh:343-433); pull mode derives them from
+        # the already-gathered frontier bitmask instead.
+        preds = jnp.where(new_mask, pred_cand, preds)
     n_local = jnp.sum(new_mask.astype(jnp.int32))
     m_f_local = jnp.sum(jnp.where(new_mask, deg, 0))
     edges = csc_row[-1]
@@ -152,7 +160,18 @@ def _pull_finish(state, reached, deg, csc_row, depth, p: int, S: int):
         jnp.bool_(False), sent
 
 
-def _pull_step(pg: PartitionedGraph, *, axis: str, comm_latency: int):
+def _first_hit_parent(run0, samples, csc_col):
+    """Parent candidate per local vertex: the FIRST in-edge whose source
+    is in the frontier. Row v's first hit sits where the running hit
+    count first exceeds samples[v]; rows without hits yield garbage that
+    ``reached`` masks off."""
+    firstpos = jnp.searchsorted(run0, samples[:-1] + 1) - 1
+    e = csc_col.shape[0]
+    return jnp.take(csc_col, jnp.clip(firstpos, 0, e - 1))
+
+
+def _pull_step(pg: PartitionedGraph, *, axis: str, comm_latency: int,
+               mark_preds: bool = False):
     S = pg.shard_size
     p = pg.num_shards
 
@@ -168,13 +187,17 @@ def _pull_step(pg: PartitionedGraph, *, axis: str, comm_latency: int):
         run0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), run])
         samples = jnp.take(run0, csc_row, indices_are_sorted=True)
         reached = (samples[1:] - samples[:-1]) > 0
-        return _pull_finish(state, reached, deg, csc_row, depth, p, S)
+        pred_cand = _first_hit_parent(run0, samples, csc_col) \
+            if mark_preds else None
+        return _pull_finish(state, reached, deg, csc_row, depth, p, S,
+                            pred_cand)
 
     return step
 
 
 def _pull_step_blocked(pg: PartitionedGraph, *, axis: str,
-                       comm_latency: int, interpret: bool):
+                       comm_latency: int, interpret: bool,
+                       mark_preds: bool = False):
     """Kernel-grade pull superstep: all-gather the packed frontier words
     and reduce over the shard's local edges with the SAME blocked Pallas
     kernels the single-chip path uses (``ops.pallas_kernels``) — the
@@ -187,7 +210,8 @@ def _pull_step_blocked(pg: PartitionedGraph, *, axis: str,
     S = pg.shard_size
     p = pg.num_shards
 
-    def step(blk_local: ShardedBlocked, csc_row, deg, state, depth):
+    def step(blk_local: ShardedBlocked, csc_row, csc_col, deg, state,
+             depth):
         labels = state[0]
         R = blk_local.bcsc_groups * blk_local.bcsc_rows_per_group
         gwords = _pull_frontier_words(labels, depth, axis, comm_latency)
@@ -196,7 +220,16 @@ def _pull_step_blocked(pg: PartitionedGraph, *, axis: str,
             .at[:nw].set(gwords).reshape(R, LANE)
         reached = unpack_bitmask(
             pull_reached_words(table, blk_local, interpret=interpret), S)
-        return _pull_finish(state, reached, deg, csc_row, depth, p, S)
+        pred_cand = None
+        if mark_preds:
+            fbool = _unpack_words(gwords)
+            hit = fbool[csc_col].astype(jnp.int32)
+            run0 = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(hit)])
+            samples = jnp.take(run0, csc_row, indices_are_sorted=True)
+            pred_cand = _first_hit_parent(run0, samples, csc_col)
+        return _pull_finish(state, reached, deg, csc_row, depth, p, S,
+                            pred_cand)
 
     return step
 
@@ -212,10 +245,12 @@ def _make_bfs_fn(pg: PartitionedGraph, *, fcap: int, out_cap: int,
     push = _push_step(pg, fcap=fcap, out_cap=out_cap,
                       per_peer_cap=per_peer_cap, mark_preds=mark_preds,
                       axis=axis, comm_latency=comm_latency)
-    pull_plain = _pull_step(pg, axis=axis, comm_latency=comm_latency) \
+    pull_plain = _pull_step(pg, axis=axis, comm_latency=comm_latency,
+                            mark_preds=mark_preds) \
         if direction_optimized and blocked is None else None
     pull_blk = _pull_step_blocked(pg, axis=axis, comm_latency=comm_latency,
-                                  interpret=pallas_interpret) \
+                                  interpret=pallas_interpret,
+                                  mark_preds=mark_preds) \
         if direction_optimized and blocked is not None else None
 
     def shard_fn(row, col, csc_row, csc_col, src_new, max_iters,
@@ -229,7 +264,7 @@ def _make_bfs_fn(pg: PartitionedGraph, *, fcap: int, out_cap: int,
             if blk is not None:
                 blk_local = local_layout(blk)
                 pull = lambda cr, cc, dg, st, depth: \
-                    pull_blk(blk_local, cr, dg, st, depth)
+                    pull_blk(blk_local, cr, cc, dg, st, depth)
             else:
                 pull = pull_plain
         my = jax.lax.axis_index(axis).astype(jnp.int32)
@@ -386,21 +421,6 @@ def bfs_sharded_device(pg: PartitionedGraph, src_new: int, *,
     return fn(*args)
 
 
-def _host_fill_preds(g: CsrGraph, labels: np.ndarray,
-                     preds: np.ndarray) -> np.ndarray:
-    """Post-hoc predecessors for pull-discovered vertices (original ids):
-    pred(v) = any neighbor u with label(u) = label(v) - 1. One vectorized
-    numpy pass (the sharded analogue of models/bfs._fill_preds)."""
-    src = g.edge_sources()
-    dst = g.col_indices
-    ok = (labels[src] >= 0) & (labels[src] + 1 == labels[dst])
-    out = preds.copy()
-    need = (labels > 0) & (out < 0)
-    sel = ok & need[dst]
-    out[dst[sel]] = src[sel]          # last-writer-wins; any valid parent
-    return out
-
-
 def bfs_sharded(graph: CsrGraph, src: int = 0, *, num_shards: int = None,
                 partition_method: str = "random", seed: int = 0,
                 mark_preds: bool = False,
@@ -462,8 +482,6 @@ def bfs_sharded(graph: CsrGraph, src: int = 0, *, num_shards: int = None,
         preds_new = np.asarray(preds)[perm]
         preds_old = np.where(preds_new >= 0, inv[np.maximum(preds_new, 0)],
                              -1).astype(np.int32)
-        if direction_optimized:
-            preds_old = _host_fill_preds(graph, labels_old, preds_old)
 
     trace_np = np.asarray(trace)
     it = int(iters)

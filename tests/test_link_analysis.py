@@ -139,3 +139,34 @@ def test_reverse_blocked_layout_matches_forward_reduce():
     np.add.at(oracle, g.edge_sources(), x[g.col_indices])
     np.testing.assert_allclose(np.asarray(fast)[:g.num_nodes], oracle,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_hits_raw_parity_mode(chesapeake):
+    """Raw ping-pong mode reproduces the reference recurrence
+    (hits_functor.cuh:91,165; NormalizeRank = swap+zero only)."""
+    import gunrock_tpu as gt
+    from gunrock_tpu.models.hits import hits_device
+
+    g = chesapeake
+    dg = gt.to_device(g, with_csc=True, with_edge_src=True)
+    src, delta, iters = 3, 0.2, 12
+    hub, auth = hits_device(dg, max_iters=iters, mode="raw", src=src,
+                            delta=delta)
+    hub = np.asarray(hub)[: g.num_nodes]
+    auth = np.asarray(auth)[: g.num_nodes]
+
+    # numpy float64 oracle of the exact reference recurrence
+    n = g.num_nodes
+    es, ed = g.edge_sources(), g.col_indices
+    outd = np.diff(g.row_offsets).astype(np.float64)
+    ind = np.bincount(ed, minlength=n).astype(np.float64)
+    inv_out = 1.0 / np.maximum(outd, 1.0)
+    inv_in = np.where(ind > 0, 1.0 / np.maximum(ind, 1.0), 0.0)
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(iters):
+        a = np.bincount(es, weights=h[ed] * inv_out[ed], minlength=n)
+        h = delta * (np.arange(n) == src) + (1 - delta) * np.bincount(
+            es, weights=a[ed] * inv_in[ed], minlength=n)
+    np.testing.assert_allclose(auth, a, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(hub, h, rtol=2e-4, atol=1e-6)

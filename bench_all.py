@@ -266,12 +266,47 @@ def main():
              res.info["wedges_probed"],
              {"triangles": res.total})
 
+    def row_duty():
+        # Per-kernel duty splits (reference avg_duty + kernel lifetimes,
+        # util/kernel_runtime_stats.cuh, info.cuh:1380-1385): rerun each
+        # instrumentable primitive through the result tier with
+        # per-iteration phase records and emit the duty JSON.
+        g.random_edge_values(seed=7)
+        runs = [
+            ("bfs", lambda: gt.bfs(g, src=src,
+                                   direction_optimized=not meshy,
+                                   instrumented=True)),
+            ("sssp", lambda: gt.sssp(
+                g, src=src, mode="nearfar" if meshy else "bellman",
+                instrumented=True)),
+            ("pr", lambda: gt.pagerank(g, max_iters=10, threshold=0.0,
+                                       instrumented=True)),
+            ("cc", lambda: gt.cc(g, instrumented=True)),
+            ("bc", lambda: gt.bc(g, src=src, instrumented=True)),
+        ]
+        for pname, fn in runs:
+            try:
+                res = fn()
+                rec = {"metric": f"duty_{pname}_{tag}",
+                       "avg_duty": res.info.get("avg_duty"),
+                       "phase_ms": res.info.get("phase_ms"),
+                       "phase_iterations": res.info.get(
+                           "phase_iterations"),
+                       "process_ms": res.info.get("process_ms")}
+                print(json.dumps(rec), flush=True)
+            except Exception:
+                print(f"# duty_{pname}_{tag} FAILED", file=sys.stderr)
+                traceback.print_exc()
+
     # Fault-isolated rows: one row failing (OOM on a matrix graph, a
     # backend without native pallas, a flaky tunnel) must not kill the
     # rest of the sweep.
-    for name, fn in (("bfs", row_bfs), ("sssp", row_sssp),
-                     ("pr", row_pr), ("hits", row_hits), ("cc", row_cc),
-                     ("bc", row_bc), ("deep", row_deep), ("tc", row_tc)):
+    rows = [("bfs", row_bfs), ("sssp", row_sssp),
+            ("pr", row_pr), ("hits", row_hits), ("cc", row_cc),
+            ("bc", row_bc), ("deep", row_deep), ("tc", row_tc)]
+    if os.environ.get("BENCH_DUTY"):
+        rows.append(("duty", row_duty))
+    for name, fn in rows:
         if not want(name):
             continue
         try:

@@ -49,7 +49,7 @@ def round_up(x: int, m: int = LANE) -> int:
         "bcsc_cellword", "bcsc_val",
         "bcsc_vsample_pos", "bcsc_vsample_valid",
         "pv2_src", "pv2_dst", "pv2_val", "pv2_wpr", "pv2_gob",
-        "pv2_d0row", "pv2_nt", "pv2_pos",
+        "pv2_d0row", "pv2_nt", "pv2_cb", "pv2_pos",
     ],
     meta_fields=["num_nodes", "num_edges", "v_pad", "e_pad",
                  "bcsc_groups", "bcsc_rows_per_group", "bcsc_block_rows",
@@ -125,6 +125,7 @@ class DeviceGraph:
     pv2_gob: Optional[jax.Array] = None             # (nblocks,) int32
     pv2_d0row: Optional[jax.Array] = None           # (nblocks,) int32
     pv2_nt: Optional[jax.Array] = None              # (nblocks,) int32
+    pv2_cb: Optional[jax.Array] = None              # (nblocks*ntiles,) i32
     pv2_pos: Optional[jax.Array] = None             # (K*v_pad,) int32 enc
     pv2_groups: int = 0
     pv2_block_rows: int = 0

@@ -42,7 +42,7 @@ import numpy as np
 __all__ = ["build_pull2", "PULL2_VERSION"]
 
 LANE = 128
-PULL2_VERSION = 4          # bump to invalidate .npz caches on layout change
+PULL2_VERSION = 5          # bump to invalidate .npz caches on layout change
 INVALID = np.int32(-2**31)  # sign bit: position slot has no run tail
 
 
@@ -179,12 +179,31 @@ def build_pull2(src: np.ndarray, dst: np.ndarray,
     filled = pos[idx]
     enc = np.where(valid, filled, filled | INVALID).astype(np.int32)
 
+    # Per-(block, window-tile) scan-slab ranges for the kernel's
+    # extraction walk, precomputed so the kernel never extracts scalars
+    # from vectors: for tile t of block b, the (32-row) scan slabs
+    # holding its positions are [c0, c1]; packed c0 << 16 | c1.
+    ntiles = span_rows // 32
+    slab_rows = min(32, block_rows)
+    cb = np.zeros((nblocks, ntiles), np.int32)
+    enc2 = enc.reshape(-1, LANE) if False else enc
+    for b in range(nblocks):
+        g0 = int(gob[b]) * v_pad + int(d0row[b]) * LANE
+        w = enc[g0:g0 + span_rows * LANE]
+        p = (w & 0x7FFFFFFF).astype(np.int64) - b * BE
+        np.clip(p, 0, BE - 1, out=p)
+        pt = p.reshape(ntiles, 32 * LANE)
+        c0 = pt[:, 0] // (slab_rows * LANE)
+        c1 = pt[:, -1] // (slab_rows * LANE)
+        cb[b] = (c0.astype(np.int64) << 16 | c1).astype(np.int32)
+
     out = dict(
         pv2_src=bsrc,
         pv2_dst=bdst,
         pv2_gob=gob,
         pv2_d0row=d0row,
         pv2_nt=ntile,
+        pv2_cb=cb.reshape(-1),
         pv2_pos=enc,
         pv2_groups=K,
         pv2_block_rows=block_rows,

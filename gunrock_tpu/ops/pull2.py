@@ -65,12 +65,14 @@ def _pull2_kernel(rows_v: int, rpg_v: int, span_rows: int, block_rows: int,
         w_ref = refs[i]
         i += 1
     pos_ref = refs[i]
-    i += 1
+    cb_ref = refs[i + 1]
+    i += 2
     init_ref = None
     if has_init:
         init_ref = refs[i]
         i += 1
-    o_ref, scan_ref, posbuf, smi, smf, sem = refs[i:i + 6]
+    (o_ref, scan_ref, posbuf, win_ref, cbbuf, smi, smf, sem,
+     sem2) = refs[i:i + 9]
 
     k = pl.program_id(0)
     g = gob_ref[k]
@@ -79,10 +81,14 @@ def _pull2_kernel(rows_v: int, rpg_v: int, span_rows: int, block_rows: int,
     combine = _combine(op)
     BE = block_rows * LANE
 
-    # positions window DMA (overlaps the gather/scan below)
+    # positions window + slab-range DMAs (overlap the gather/scan below)
+    ntiles = span_rows // 32
     cp = pltpu.make_async_copy(
         pos_ref.at[pl.ds(g * rows_v + d0, span_rows), :], posbuf, sem)
     cp.start()
+    cpc = pltpu.make_async_copy(
+        cb_ref.at[pl.ds(k, 1), :], cbbuf, sem2)
+    cpc.start()
 
     @pl.when(k == 0)
     def _():
@@ -144,13 +150,18 @@ def _pull2_kernel(rows_v: int, rpg_v: int, span_rows: int, block_rows: int,
         o_ref[pl.ds(d0, 8), :] = jnp.broadcast_to(
             scan[0:1, :], (8, LANE))
         return
+    cpc.wait()
     base = k * BE
     nt = nt_ref[k]
-    slab_rows = min(32, block_rows)       # 32-row visits amortize the
-    sshift = slab_rows.bit_length() + 6   # dynamic-slice/loop overhead
+    slab_rows = min(32, block_rows)
+    # Per-tile contributions build in the window scratch (static tile
+    # offsets); ONE dynamic read-combine-write against the accumulator
+    # per block. Slab ranges come precomputed from the layout via SMEM
+    # (pv2_cb) — no vector->scalar extractions in the loop.
+    win_ref[...] = jnp.full((span_rows, LANE), identity, jnp.float32)
     for t in range(span_rows // 32):
         # dead window tiles (beyond the block's static tail span) cost
-        # one scalar compare; their accumulator rows stay untouched.
+        # one scalar compare; their window rows stay identity.
         @pl.when(t < nt)
         def _():
             enc = posbuf[t * 32:(t + 1) * 32, :]
@@ -160,10 +171,9 @@ def _pull2_kernel(rows_v: int, rpg_v: int, span_rows: int, block_rows: int,
             lcl = jnp.clip(local, 0, BE - 1)
             lrow = jax.lax.shift_right_logical(lcl, 7)
             llane = lcl & (LANE - 1)
-            # masked positions are nondecreasing: visit only the scan
-            # slabs c0..c1
-            c0 = jax.lax.shift_right_logical(lcl[0, 0], sshift)
-            c1 = jax.lax.shift_right_logical(lcl[31, LANE - 1], sshift)
+            packed = cbbuf[0, t]
+            c0 = packed >> 16
+            c1 = packed & 0xFFFF
 
             def visit(c, acc):
                 slab = scan_ref[pl.ds(c * slab_rows, slab_rows), :]
@@ -178,15 +188,16 @@ def _pull2_kernel(rows_v: int, rpg_v: int, span_rows: int, block_rows: int,
             contrib = jax.lax.fori_loop(
                 c0, c1 + 1, visit,
                 jnp.full((32, LANE), identity, jnp.float32))
-            cur = o_ref[pl.ds(d0 + t * 32, 32), :]
-            o_ref[pl.ds(d0 + t * 32, 32), :] = combine(cur, contrib)
+            win_ref[t * 32:(t + 1) * 32, :] = contrib
+    cur = o_ref[pl.ds(d0, span_rows), :]
+    o_ref[pl.ds(d0, span_rows), :] = combine(cur, win_ref[...])
 
 
 @functools.partial(jax.jit, static_argnames=(
     "rows_v", "rpg_v", "span_rows", "block_rows", "op", "wmode",
     "interpret", "ablate"))
-def _pull2_call(table, src2d, dst2d, w2d, pos2d, init2d, gob, d0row,
-                nt, *,
+def _pull2_call(table, src2d, dst2d, w2d, pos2d, cb2d, init2d, gob,
+                d0row, nt, *,
                 rows_v: int, rpg_v: int, span_rows: int, block_rows: int,
                 op: str, wmode: str, interpret: bool,
                 ablate: str = "full"):
@@ -210,6 +221,8 @@ def _pull2_call(table, src2d, dst2d, w2d, pos2d, init2d, gob, d0row,
         args.append(w2d)
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))      # positions
     args.append(pos2d)
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))      # slab ranges
+    args.append(cb2d)
     if init2d is not None:
         in_specs.append(pl.BlockSpec((rows_v, LANE),
                                      lambda k, go, dr, ntr: (0, 0),
@@ -225,8 +238,11 @@ def _pull2_call(table, src2d, dst2d, w2d, pos2d, init2d, gob, d0row,
         scratch_shapes=[
             pltpu.VMEM((block_rows, LANE), jnp.float32),   # scan
             pltpu.VMEM((span_rows, LANE), jnp.int32),      # positions
+            pltpu.VMEM((span_rows, LANE), jnp.float32),    # window acc
+            pltpu.SMEM((1, span_rows // 32), jnp.int32),   # slab ranges
             pltpu.SMEM((1, 2), jnp.int32),
             pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -260,10 +276,12 @@ def pull_reduce2(values: jax.Array, graph, *, op: str = "sum",
         w2d = w.reshape(-1, LANE)
     init2d = None if init is None else \
         init.astype(jnp.float32).reshape(rows_v, LANE)
+    ntiles = graph.pv2_span_rows // 32
     out = _pull2_call(
         table, graph.pv2_src.reshape(-1, LANE),
         graph.pv2_dst.reshape(-1, LANE), w2d,
-        graph.pv2_pos.reshape(-1, LANE), init2d,
+        graph.pv2_pos.reshape(-1, LANE),
+        graph.pv2_cb.reshape(-1, ntiles), init2d,
         graph.pv2_gob, graph.pv2_d0row, graph.pv2_nt,
         rows_v=rows_v, rpg_v=rows_v // graph.pv2_groups,
         span_rows=graph.pv2_span_rows, block_rows=graph.pv2_block_rows,

@@ -458,6 +458,7 @@ def to_device(
     # sampled layout stays as the big-V / rect fallback.
     pull2_ok = (with_blocked_values and not sizet64
                 and 32 <= v_pad // LANE <= 16384
+                and v_pad % 1024 == 0
                 and os.environ.get("GUNROCK_PULL2", "1") != "0")
 
     blocked = {}

@@ -42,7 +42,7 @@ import numpy as np
 __all__ = ["build_pull2", "PULL2_VERSION"]
 
 LANE = 128
-PULL2_VERSION = 5          # bump to invalidate .npz caches on layout change
+PULL2_VERSION = 6          # bump to invalidate .npz caches on layout change
 INVALID = np.int32(-2**31)  # sign bit: position slot has no run tail
 
 
@@ -76,6 +76,9 @@ def build_pull2(src: np.ndarray, dst: np.ndarray,
     rpg_v = rows_v // K
     vpg = rpg_v * LANE
     assert rows_v >= 32, "pull2 needs v_pad >= 4096 (use the v1 layout)"
+    assert rows_v % 8 == 0, \
+        "pull2 needs v_pad % 1024 == 0 (8-row gather slabs must tile " \
+        "the table; to_device gates on this)"
     span_rows = max(32, (min(span_rows, rows_v) // 32) * 32)
     span_cap = (span_rows - 1) * LANE      # max dst span per block
     BE = block_rows * LANE
@@ -185,7 +188,8 @@ def build_pull2(src: np.ndarray, dst: np.ndarray,
     # holding its positions are [c0, c1]; packed c0 << 16 | c1.
     ntiles = span_rows // 32
     slab_rows = min(32, block_rows)
-    cb = np.zeros((nblocks, ntiles), np.int32)
+    # second dim padded to 128 lanes (DMA slice alignment on TPU)
+    cb = np.zeros((nblocks, 128), np.int32)
     enc2 = enc.reshape(-1, LANE) if False else enc
     for b in range(nblocks):
         g0 = int(gob[b]) * v_pad + int(d0row[b]) * LANE
@@ -195,7 +199,7 @@ def build_pull2(src: np.ndarray, dst: np.ndarray,
         pt = p.reshape(ntiles, 32 * LANE)
         c0 = pt[:, 0] // (slab_rows * LANE)
         c1 = pt[:, -1] // (slab_rows * LANE)
-        cb[b] = (c0.astype(np.int64) << 16 | c1).astype(np.int32)
+        cb[b, :ntiles] = (c0.astype(np.int64) << 16 | c1).astype(np.int32)
 
     out = dict(
         pv2_src=bsrc,

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_kernels import _seg_scan_val
 
-__all__ = ["pull_reduce2", "PULL2_MAX_ROWS"]
+__all__ = ["pull_reduce2", "pull_min_sweeps", "PULL2_MAX_ROWS"]
 
 LANE = 128
 PULL2_MAX_ROWS = 16384       # accumulator rows cap (8 MB f32 VMEM at 16k)
@@ -239,7 +239,7 @@ def _pull2_call(table, src2d, dst2d, w2d, pos2d, cb2d, init2d, gob,
             pltpu.VMEM((block_rows, LANE), jnp.float32),   # scan
             pltpu.VMEM((span_rows, LANE), jnp.int32),      # positions
             pltpu.VMEM((span_rows, LANE), jnp.float32),    # window acc
-            pltpu.SMEM((1, span_rows // 32), jnp.int32),   # slab ranges
+            pltpu.SMEM((1, 128), jnp.int32),               # slab ranges
             pltpu.SMEM((1, 2), jnp.int32),
             pltpu.SMEM((1, 1), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -276,14 +276,276 @@ def pull_reduce2(values: jax.Array, graph, *, op: str = "sum",
         w2d = w.reshape(-1, LANE)
     init2d = None if init is None else \
         init.astype(jnp.float32).reshape(rows_v, LANE)
-    ntiles = graph.pv2_span_rows // 32
     out = _pull2_call(
         table, graph.pv2_src.reshape(-1, LANE),
         graph.pv2_dst.reshape(-1, LANE), w2d,
         graph.pv2_pos.reshape(-1, LANE),
-        graph.pv2_cb.reshape(-1, ntiles), init2d,
+        graph.pv2_cb.reshape(-1, 128), init2d,
         graph.pv2_gob, graph.pv2_d0row, graph.pv2_nt,
         rows_v=rows_v, rpg_v=rows_v // graph.pv2_groups,
         span_rows=graph.pv2_span_rows, block_rows=graph.pv2_block_rows,
         op=op, wmode=wmode, interpret=interpret, ablate=ablate)
     return out.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: Gauss-Seidel min-pull sweeps — the iterative-primitive engine
+# (SSSP pull Bellman-Ford, deep-regime BFS, CC min-label propagation).
+#
+# The distance/label vector lives in the VMEM accumulator across a
+# (sweeps, nblocks) grid; each block gathers FROM the evolving vector
+# (in-place min updates are monotone-safe and propagate within a sweep —
+# Gauss-Seidel), odd sweeps process blocks in reverse (backward sweeps
+# may compute run-subset minima when a run straddles blocks; min over a
+# subset never under-shoots, and convergence is only declared on a
+# FORWARD sweep with zero changes). Per-group activity flags skip all
+# VPU work for groups whose source rows did not change in the previous
+# sweep; a per-sweep changed-count lands in a tiny second output.
+#
+# This replaces the reference's iterative enactor loops whose per-round
+# V-scale buffer writes (~9 ms each on the tunnel) were the entire
+# SSSP/BC/deep-regime story (BENCH.md round-4 cost model; reference
+# round structure: app/sssp/sssp_enactor.cuh:274-330 near/far piles).
+# ---------------------------------------------------------------------------
+
+
+def _sweeps_kernel(rows_v: int, rpg_v: int, span_rows: int,
+                   block_rows: int, nblocks: int, kgroups: int,
+                   wmode: str, *refs):
+    (gob_ref, d0_ref, nt_ref, src_ref, dst_ref) = refs[:5]
+    i = 5
+    w_ref = None
+    if wmode in ("add", "mul"):
+        w_ref = refs[i]
+        i += 1
+    pos_ref, cb_ref, init_ref = refs[i:i + 3]
+    i += 3
+    (o_ref, chg_ref, scan_ref, posbuf, win_ref, cbbuf, smi, smf, act,
+     nxt, sem, sem2) = refs[i:i + 12]
+
+    r = pl.program_id(0)
+    b = pl.program_id(1)
+    # logical block: odd sweeps run backward
+    bb = jnp.where(r % 2 == 1, nblocks - 1 - b, b)
+    g = gob_ref[bb]
+    d0 = d0_ref[bb]
+    identity = jnp.float32(jnp.inf)
+    BE = block_rows * LANE
+
+    @pl.when((r == 0) & (b == 0))
+    def _():
+        o_ref[...] = init_ref[...]
+        smi[0, 2] = 0                      # per-sweep changed counter
+        for gg in range(kgroups):
+            act[0, gg] = 1
+            nxt[0, gg] = 0
+
+    @pl.when((b == 0) & (r > 0))
+    def _():
+        smi[0, 2] = 0                      # per-sweep changed counter
+        for gg in range(kgroups):
+            act[0, gg] = nxt[0, gg]
+            nxt[0, gg] = 0
+
+    @pl.when(b == 0)
+    def _():
+        smi[0, 0] = -1                     # carry dst key
+        smi[0, 1] = -1                     # carry group
+        smf[0, 0] = identity
+
+    chg_ref[...] = jnp.broadcast_to(smi[0, 2].reshape(1, 1), (1, LANE))
+
+    active = act[0, g] > 0
+
+    @pl.when(active)
+    def _():
+        ntiles = span_rows // 32
+        cp = pltpu.make_async_copy(
+            pos_ref.at[pl.ds(g * rows_v + d0, span_rows), :], posbuf, sem)
+        cp.start()
+        cpc = pltpu.make_async_copy(
+            cb_ref.at[pl.ds(bb, 1), :], cbbuf, sem2)
+        cpc.start()
+
+        src = src_ref[...]
+        dst = dst_ref[...]
+        shape = src.shape
+        vrow_l = jax.lax.shift_right_logical(src, 7) - g * rpg_v
+        vlane = src & (LANE - 1)
+
+        def body(gg, acc):
+            slab = o_ref[pl.ds(g * rpg_v + gg * 8, 8), :]
+            for u in range(8):
+                rowv = jnp.broadcast_to(slab[u:u + 1, :], shape)
+                rowc = jnp.take_along_axis(rowv, vlane, axis=1)
+                acc = jnp.where(vrow_l == gg * 8 + u, rowc, acc)
+            return acc
+
+        val = jax.lax.fori_loop(0, rpg_v // 8, body,
+                                jnp.full(shape, identity, jnp.float32))
+        if wmode == "add":
+            val = val + w_ref[...]
+        elif wmode == "mul":
+            val = val * w_ref[...]
+        elif wmode == "incr":
+            val = val + 1.0
+
+        splice = (dst == smi[0, 0]) & (g == smi[0, 1])
+        val = jnp.where(splice, jnp.minimum(val, smf[0, 0]), val)
+        scan = _seg_scan_val(val, dst, "min")
+        scan_ref[...] = scan
+        smf[0, 0] = scan[block_rows - 1, LANE - 1]
+        smi[0, 0] = dst[block_rows - 1, LANE - 1]
+        smi[0, 1] = g
+
+        cp.wait()
+        cpc.wait()
+        base = bb * BE
+        nt = nt_ref[bb]
+        slab_rows = min(32, block_rows)
+        win_ref[...] = jnp.full((span_rows, LANE), identity, jnp.float32)
+        for t in range(span_rows // 32):
+            @pl.when(t < nt)
+            def _():
+                enc = posbuf[t * 32:(t + 1) * 32, :]
+                p = enc & 0x7FFFFFFF
+                local = p - base
+                ok = (enc >= 0) & (local >= 0) & (local < BE)
+                lcl = jnp.clip(local, 0, BE - 1)
+                lrow = jax.lax.shift_right_logical(lcl, 7)
+                llane = lcl & (LANE - 1)
+                packed = cbbuf[0, t]
+                c0 = packed >> 16
+                c1 = packed & 0xFFFF
+
+                def visit(c, acc):
+                    slab = scan_ref[pl.ds(c * slab_rows, slab_rows), :]
+                    for u in range(slab_rows):
+                        rowv = jnp.broadcast_to(slab[u:u + 1, :],
+                                                (32, LANE))
+                        sel = ok & (lrow == c * slab_rows + u)
+                        acc = jnp.where(
+                            sel,
+                            jnp.take_along_axis(rowv, llane, axis=1),
+                            acc)
+                    return acc
+
+                contrib = jax.lax.fori_loop(
+                    c0, c1 + 1, visit,
+                    jnp.full((32, LANE), identity, jnp.float32))
+                win_ref[t * 32:(t + 1) * 32, :] = contrib
+
+        cur = o_ref[pl.ds(d0, span_rows), :]
+        new = jnp.minimum(cur, win_ref[...])
+        nchanged = jnp.sum((new < cur).astype(jnp.int32))
+        o_ref[pl.ds(d0, span_rows), :] = new
+
+        @pl.when(nchanged > 0)
+        def _():
+            smi[0, 2] = smi[0, 2] + nchanged
+            # mark src groups overlapping the changed dst window dirty
+            for j in range(span_rows // rpg_v + 1):
+                gg = jnp.minimum(d0 // rpg_v + j, kgroups - 1)
+                nxt[0, gg] = 1
+
+        chg_ref[...] = jnp.broadcast_to(smi[0, 2].reshape(1, 1),
+                                        (1, LANE))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "rows_v", "rpg_v", "span_rows", "block_rows", "wmode", "sweeps",
+    "interpret"))
+def _sweeps_call(init2d, src2d, dst2d, w2d, pos2d, cb2d, gob, d0row, nt,
+                 *, rows_v: int, rpg_v: int, span_rows: int,
+                 block_rows: int, wmode: str, sweeps: int,
+                 interpret: bool):
+    nblocks = src2d.shape[0] // block_rows
+    kgroups = (rows_v // rpg_v)
+    kernel = functools.partial(
+        _sweeps_kernel, rows_v, rpg_v, span_rows, block_rows, nblocks,
+        kgroups, wmode)
+
+    def emap(r, b, go, dr, ntr):
+        return (jnp.where(r % 2 == 1, nblocks - 1 - b, b), 0)
+
+    in_specs = [
+        pl.BlockSpec((block_rows, LANE), emap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, LANE), emap, memory_space=pltpu.VMEM),
+    ]
+    args = [src2d, dst2d]
+    if wmode in ("add", "mul"):
+        in_specs.append(pl.BlockSpec((block_rows, LANE), emap,
+                                     memory_space=pltpu.VMEM))
+        args.append(w2d)
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # positions
+    args.append(pos2d)
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # slab ranges
+    args.append(cb2d)
+    in_specs.append(pl.BlockSpec((rows_v, LANE),
+                                 lambda r, b, go, dr, ntr: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(init2d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(sweeps, nblocks),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((rows_v, LANE),
+                         lambda r, b, go, dr, ntr: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANE), lambda r, b, go, dr, ntr: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_rows, LANE), jnp.float32),   # scan
+            pltpu.VMEM((span_rows, LANE), jnp.int32),      # positions
+            pltpu.VMEM((span_rows, LANE), jnp.float32),    # window
+            pltpu.SMEM((1, 128), jnp.int32),               # slab ranges
+            pltpu.SMEM((1, 4), jnp.int32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SMEM((1, kgroups), jnp.int32),           # act
+            pltpu.SMEM((1, kgroups), jnp.int32),           # next act
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((rows_v, LANE), jnp.float32),
+                   jax.ShapeDtypeStruct((sweeps, LANE), jnp.int32)),
+        interpret=interpret,
+    )(gob, d0row, nt, *args)
+
+
+def pull_min_sweeps(graph, init: jax.Array, *, sweeps: int,
+                    wmode: str = "add", weights: str = "val",
+                    interpret: bool = False):
+    """Run ``sweeps`` Gauss-Seidel min-pull sweeps over the pv2 layout.
+
+    ``init`` is the starting distance/label vector (f32, +inf for
+    unreached). Returns ``(dist, changed)`` where ``changed[r]`` is the
+    number of improved lanes in sweep r — ``changed[r] == 0`` on an
+    EVEN (forward) sweep means the fixpoint was reached (odd sweeps run
+    backward and may see run-subset minima; their zero is necessary but
+    not sufficient).
+    """
+    assert graph.has_pull2, "graph lacks the pull2 layout"
+    rows_v = graph.v_pad // LANE
+    w2d = None
+    if wmode in ("add", "mul"):
+        w = graph.pv2_val if weights == "val" else graph.pv2_wpr
+        assert w is not None, f"pull2 layout lacks the {weights} stream"
+        w2d = w.reshape(-1, LANE)
+    out, chg = _sweeps_call(
+        init.astype(jnp.float32).reshape(rows_v, LANE),
+        graph.pv2_src.reshape(-1, LANE),
+        graph.pv2_dst.reshape(-1, LANE), w2d,
+        graph.pv2_pos.reshape(-1, LANE),
+        graph.pv2_cb.reshape(-1, 128),
+        graph.pv2_gob, graph.pv2_d0row, graph.pv2_nt,
+        rows_v=rows_v, rpg_v=rows_v // graph.pv2_groups,
+        span_rows=graph.pv2_span_rows,
+        block_rows=graph.pv2_block_rows, wmode=wmode, sweeps=sweeps,
+        interpret=interpret)
+    return out.reshape(-1), chg[:, 0]

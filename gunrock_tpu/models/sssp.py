@@ -647,6 +647,69 @@ _sssp_jit = jax.jit(
 _fill_preds_jit = None  # jitted lazily below
 
 
+@partial(jax.jit, static_argnames=("sweeps", "interpret", "cont"))
+def _pull_sweeps_jit(graph, src_or_dist, *, sweeps: int, interpret: bool,
+                     cont: bool):
+    from ..ops.pull2 import pull_min_sweeps
+    if cont:
+        init = src_or_dist
+    else:
+        init = jnp.full((graph.v_pad,), jnp.inf, jnp.float32) \
+            .at[src_or_dist].set(0.0)
+    return pull_min_sweeps(graph, init, sweeps=sweeps, wmode="add",
+                           interpret=interpret)
+
+
+def _sssp_pull_sweeps(graph: DeviceGraph, src, *, mark_preds: bool,
+                      max_iters: Optional[int],
+                      instrument: Optional[list]):
+    """Gauss-Seidel pull-relaxation SSSP (``ops.pull2.pull_min_sweeps``):
+    the whole traversal runs as alternating in-VMEM min-pull sweeps —
+    the round-cost problem (each push round paying ~9 ms of V-scale
+    buffer rewrites on the tunnel) disappears because dist never leaves
+    VMEM between sweeps. Converged when a FORWARD sweep reports zero
+    improvements (the kernel's fixpoint certificate). Distance-label
+    semantics match bellman/near-far; preds via the shared dist
+    post-pass (MARK_PATHS)."""
+    import time as _time
+    interp = jax.default_backend() != "tpu"
+    rounds = int(os.environ.get("GUNROCK_SSSP_SWEEPS", "6"))
+    budget = max_iters if max_iters is not None else 16384
+    total = 0
+    arg = jnp.int32(src)
+    cont = False
+    chgs = []
+    t0 = _time.perf_counter()
+    while True:
+        dist, chg = _pull_sweeps_jit(graph, arg, sweeps=rounds,
+                                     interpret=interp, cont=cont)
+        chg_np = np.asarray(chg)
+        chgs.extend(chg_np.tolist())
+        total += rounds
+        if instrument is not None:
+            t1 = _time.perf_counter()
+            instrument.append({"iteration": total,
+                               "ms": (t1 - t0) * 1e3,
+                               "frontier": int(chg_np[-1]),
+                               "phase": "pull_sweeps"})
+            t0 = t1
+        if any(c == 0 for c in chg_np[0::2]) or total >= budget:
+            break
+        arg, cont = dist, True
+    preds = jnp.zeros((1,), jnp.int32)
+    if mark_preds:
+        preds = jax.jit(_fill_preds)(graph, dist)
+    stats = LoopStats(
+        iteration=jnp.int32(total),
+        nodes_queued=jnp.float32(sum(chgs)),
+        edges_queued=jnp.float32(graph.num_edges) * total,
+        chunk_edges=jnp.int32(0),
+        overflow=jnp.bool_(False),
+        frontier_trace=jnp.asarray(
+            (chgs + [-1] * 512)[:512], jnp.int32))
+    return dist, preds, stats
+
+
 def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
                 mode: str = "bellman", delta: float = 1.0,
                 queue_sizing: float = 1.0,
@@ -672,6 +735,13 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
         deep_carry = os.environ.get("GUNROCK_SSSP_CARRY", "0") == "1"
     if not graph.has_edge_values:
         raise ValueError("SSSP needs to_device(with_edge_values=True)")
+    if mode == "bellman" and graph.has_pull2 and \
+            os.environ.get("GUNROCK_SSSP_PULL2", "1") == "1":
+        mode = "pull"
+    if mode == "pull":
+        return _sssp_pull_sweeps(graph, src, mark_preds=mark_preds,
+                                 max_iters=max_iters,
+                                 instrument=instrument)
     fcap = max(128, int(graph.v_pad * min(queue_sizing, 1.0)))
     out_cap = max(128, int(graph.e_pad * min(queue_sizing, 1.0)))
     caps = tuple(capacity_ladder(out_cap, step=4))

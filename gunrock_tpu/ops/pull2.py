@@ -312,8 +312,8 @@ def pull_reduce2(values: jax.Array, graph, *, op: str = "sum",
 def _sweeps_kernel(rows_v: int, rpg_v: int, span_rows: int,
                    block_rows: int, nblocks: int, kgroups: int,
                    wmode: str, *refs):
-    (gob_ref, d0_ref, nt_ref, src_ref, dst_ref) = refs[:5]
-    i = 5
+    (gob_ref, d0_ref, nt_ref, act0_ref, src_ref, dst_ref) = refs[:6]
+    i = 6
     w_ref = None
     if wmode in ("add", "mul"):
         w_ref = refs[i]
@@ -337,14 +337,24 @@ def _sweeps_kernel(rows_v: int, rpg_v: int, span_rows: int,
         o_ref[...] = init_ref[...]
         smi[0, 2] = 0                      # per-sweep changed counter
         for gg in range(kgroups):
-            act[0, gg] = 1
+            # seed from the groups holding finite init entries; the
+            # within-sweep dirty check below propagates from there
+            act[0, gg] = act0_ref[gg]
             nxt[0, gg] = 0
 
     @pl.when((b == 0) & (r > 0))
     def _():
         smi[0, 2] = 0                      # per-sweep changed counter
+        # Backward sweeps evaluate run-subset minima (a run straddling
+        # blocks is seen without its earlier-block candidates), so a
+        # forward sweep must RE-CONFIRM everything the backward sweep
+        # touched: entering an even sweep, inherit the backward active
+        # set in addition to the freshly dirtied groups. This makes
+        # "even sweep with zero changes" a sound fixpoint certificate.
+        fwd = (r % 2 == 0).astype(jnp.int32)
         for gg in range(kgroups):
-            act[0, gg] = nxt[0, gg]
+            act[0, gg] = jnp.where(fwd > 0, act[0, gg] | nxt[0, gg],
+                                   nxt[0, gg])
             nxt[0, gg] = 0
 
     @pl.when(b == 0)
@@ -355,7 +365,10 @@ def _sweeps_kernel(rows_v: int, rpg_v: int, span_rows: int,
 
     chg_ref[...] = jnp.broadcast_to(smi[0, 2].reshape(1, 1), (1, LANE))
 
-    active = act[0, g] > 0
+    # active if dirty from the previous sweep OR dirtied earlier in THIS
+    # sweep (keeps full Gauss-Seidel within-sweep propagation when the
+    # initial activity is sparse)
+    active = (act[0, g] | nxt[0, g]) > 0
 
     @pl.when(active)
     def _():
@@ -456,7 +469,7 @@ def _sweeps_kernel(rows_v: int, rpg_v: int, span_rows: int,
     "rows_v", "rpg_v", "span_rows", "block_rows", "wmode", "sweeps",
     "interpret"))
 def _sweeps_call(init2d, src2d, dst2d, w2d, pos2d, cb2d, gob, d0row, nt,
-                 *, rows_v: int, rpg_v: int, span_rows: int,
+                 act0, *, rows_v: int, rpg_v: int, span_rows: int,
                  block_rows: int, wmode: str, sweeps: int,
                  interpret: bool):
     nblocks = src2d.shape[0] // block_rows
@@ -465,7 +478,7 @@ def _sweeps_call(init2d, src2d, dst2d, w2d, pos2d, cb2d, gob, d0row, nt,
         _sweeps_kernel, rows_v, rpg_v, span_rows, block_rows, nblocks,
         kgroups, wmode)
 
-    def emap(r, b, go, dr, ntr):
+    def emap(r, b, go, dr, ntr, a0):
         return (jnp.where(r % 2 == 1, nblocks - 1 - b, b), 0)
 
     in_specs = [
@@ -482,18 +495,18 @@ def _sweeps_call(init2d, src2d, dst2d, w2d, pos2d, cb2d, gob, d0row, nt,
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # slab ranges
     args.append(cb2d)
     in_specs.append(pl.BlockSpec((rows_v, LANE),
-                                 lambda r, b, go, dr, ntr: (0, 0),
+                                 lambda r, b, go, dr, ntr, a0: (0, 0),
                                  memory_space=pltpu.VMEM))
     args.append(init2d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(sweeps, nblocks),
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((rows_v, LANE),
-                         lambda r, b, go, dr, ntr: (0, 0),
+                         lambda r, b, go, dr, ntr, a0: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE), lambda r, b, go, dr, ntr: (r, 0),
+            pl.BlockSpec((1, LANE), lambda r, b, go, dr, ntr, a0: (r, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -515,7 +528,7 @@ def _sweeps_call(init2d, src2d, dst2d, w2d, pos2d, cb2d, gob, d0row, nt,
         out_shape=(jax.ShapeDtypeStruct((rows_v, LANE), jnp.float32),
                    jax.ShapeDtypeStruct((sweeps, LANE), jnp.int32)),
         interpret=interpret,
-    )(gob, d0row, nt, *args)
+    )(gob, d0row, nt, act0, *args)
 
 
 def pull_min_sweeps(graph, init: jax.Array, *, sweeps: int,
@@ -537,13 +550,17 @@ def pull_min_sweeps(graph, init: jax.Array, *, sweeps: int,
         w = graph.pv2_val if weights == "val" else graph.pv2_wpr
         assert w is not None, f"pull2 layout lacks the {weights} stream"
         w2d = w.reshape(-1, LANE)
+    # initial activity: groups holding any finite init entry
+    K = graph.pv2_groups
+    finite = jnp.isfinite(init.astype(jnp.float32)).reshape(K, -1)
+    act0 = jnp.any(finite, axis=1).astype(jnp.int32)
     out, chg = _sweeps_call(
         init.astype(jnp.float32).reshape(rows_v, LANE),
         graph.pv2_src.reshape(-1, LANE),
         graph.pv2_dst.reshape(-1, LANE), w2d,
         graph.pv2_pos.reshape(-1, LANE),
         graph.pv2_cb.reshape(-1, 128),
-        graph.pv2_gob, graph.pv2_d0row, graph.pv2_nt,
+        graph.pv2_gob, graph.pv2_d0row, graph.pv2_nt, act0,
         rows_v=rows_v, rpg_v=rows_v // graph.pv2_groups,
         span_rows=graph.pv2_span_rows,
         block_rows=graph.pv2_block_rows, wmode=wmode, sweeps=sweeps,

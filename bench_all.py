@@ -231,7 +231,9 @@ def main():
         gsrc = np.concatenate([idx[:, :-1].ravel(), idx[:-1, :].ravel()])
         gdst = np.concatenate([idx[:, 1:].ravel(), idx[1:, :].ravel()])
         gg = gt.from_coo(n * n, gsrc, gdst, undirected=True)
-        dgg = gt.to_device(gg)
+        dgg = gt.to_device(gg, with_blocked_values=True,
+                           blocked_cache=os.path.join(
+                               cdir, "grid1024.blockedv.npz"))
         out = jax.block_until_ready(bfs_device(dgg, 0))
         depth = int(np.asarray(out[0]).max())
         ms = best_ms(lambda: bfs_device(dgg, 0))
@@ -243,15 +245,21 @@ def main():
         # SSSP row: 5.2 MTEPS on K40c, doc/stats/engines_topc.md).
         from gunrock_tpu.models.sssp import sssp_device
         gg.random_edge_values(seed=1)
-        dgw = gt.to_device(gg, with_edge_values=True)
-        # delta tuned for the micro-queue: keeps the near bucket inside
-        # the DEEP_CAP rung (the reference tunes --delta-factor per
-        # graph the same way, dataset/test-scripts/ipdps17/run_fig2.sh).
+        dgw = gt.to_device(gg, with_edge_values=True,
+                           with_blocked_values=True,
+                           blocked_cache=os.path.join(
+                               cdir, "grid1024w.blockedv.npz"))
+        # pull2-capable graphs take the Gauss-Seidel sweep engine; the
+        # near-far micro-queue remains the fallback (delta tuned per
+        # graph like the reference's --delta-factor,
+        # dataset/test-scripts/ipdps17/run_fig2.sh).
+        mode2 = "pull" if dgw.has_pull2 else "nearfar"
         out = jax.block_until_ready(
-            sssp_device(dgw, 0, mode="nearfar", delta=256.0))
-        ms = best_ms(lambda: sssp_device(dgw, 0, mode="nearfar",
+            sssp_device(dgw, 0, mode=mode2, delta=256.0))
+        ms = best_ms(lambda: sssp_device(dgw, 0, mode=mode2,
                                          delta=256.0))
         emit("sssp_deep_grid1024", ms, gg.num_edges,
+             {"mode": mode2, "iters": int(out[2].iteration)},
              primitive="sssp", graph_kind="grid")
 
     def row_tc():

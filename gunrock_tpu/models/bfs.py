@@ -573,6 +573,62 @@ _bfs_jit = jax.jit(
 )
 
 
+@partial(jax.jit, static_argnames=("sweeps", "interpret", "cont"))
+def _bfs_sweeps_jit(graph, src_or_dist, *, sweeps: int, interpret: bool,
+                    cont: bool):
+    from ..ops.pull2 import pull_min_sweeps
+    if cont:
+        init = src_or_dist
+    else:
+        init = jnp.full((graph.v_pad,), jnp.inf, jnp.float32) \
+            .at[src_or_dist].set(0.0)
+    return pull_min_sweeps(graph, init, sweeps=sweeps, wmode="incr",
+                           interpret=interpret)
+
+
+def _bfs_pull_sweeps(graph: DeviceGraph, src, *, mark_preds: bool,
+                     max_iters: Optional[int]):
+    """Whole-traversal BFS as Gauss-Seidel unit-weight min-pull sweeps
+    (``ops.pull2.pull_min_sweeps``, wmode="incr"): labels stay in VMEM
+    across sweeps instead of paying ~9 ms of V-scale rewrites per level
+    — the deep/high-diameter fix (a 2046-level grid costs sweeps, not
+    levels). Labels/preds semantics match the level-synchronous path."""
+    interp = jax.default_backend() != "tpu"
+    rounds = int(os.environ.get("GUNROCK_BFS_SWEEP_CHUNK", "6"))
+    budget = max_iters if max_iters is not None else 16384
+    total = 0
+    arg = jnp.int32(src)
+    cont = False
+    chgs = []
+    while True:
+        dist, chg = _bfs_sweeps_jit(graph, arg, sweeps=rounds,
+                                    interpret=interp, cont=cont)
+        chg_np = np.asarray(chg)
+        chgs.extend(chg_np.tolist())
+        total += rounds
+        if any(c == 0 for c in chg_np[0::2]) or total >= budget:
+            break
+        arg, cont = dist, True
+    labels = jnp.where(jnp.isfinite(dist), dist, jnp.float32(INVALID)) \
+        .astype(jnp.int32)
+    preds = jnp.zeros((1,), jnp.int32)
+    if mark_preds:
+        preds = jax.jit(_fill_preds)(
+            graph, labels, jnp.full((graph.v_pad,), INVALID, jnp.int32)
+            .at[jnp.int32(src)].set(jnp.int32(src)))
+        # the source's pred is itself in _fill_preds seeding; restore -1
+        preds = preds.at[jnp.int32(src)].set(INVALID)
+    stats = LoopStats(
+        iteration=jnp.int32(total),
+        nodes_queued=jnp.float32(sum(chgs)),
+        edges_queued=jnp.float32(graph.num_edges) * total,
+        chunk_edges=jnp.int32(0),
+        overflow=jnp.bool_(False),
+        frontier_trace=jnp.asarray(
+            (chgs + [-1] * 512)[:512], jnp.int32))
+    return labels, preds, stats
+
+
 def bfs_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
                direction_optimized: bool = False, alpha: float = 15.0,
                beta: float = 18.0, queue_sizing: float = 1.0,
@@ -594,6 +650,15 @@ def bfs_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
     the reference's instrumented runs."""
     if direction_optimized and not graph.has_csc:
         raise ValueError("direction_optimized BFS needs to_device(with_csc=True)")
+    if (not direction_optimized and graph.has_pull2
+            and instrument is None
+            and (not mark_preds or graph.has_csc)
+            and os.environ.get("GUNROCK_BFS_SWEEPS", "1") == "1"):
+        # Deep/high-diameter regime: level-synchronous rounds pay ~9 ms
+        # of V-scale buffer rewrites each on the tunnel; the Gauss-Seidel
+        # sweep kernel keeps labels in VMEM across the whole traversal.
+        return _bfs_pull_sweeps(graph, src, mark_preds=mark_preds,
+                                max_iters=max_iters)
     # DO mode never materializes large (pull) frontiers as queues, so the
     # queue only needs capacity for push-mode frontiers (bounded by the
     # direction vote); a small queue keeps every push-branch frontier op

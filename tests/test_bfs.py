@@ -141,3 +141,30 @@ def test_bfs_deep_micro_loop(road_big):
     np.testing.assert_array_equal(res.labels, cpu_bfs(road_big, 0))
     assert res.info["search_depth"] == 382  # 191+191 grid diameter
     _check_preds(road_big, res.labels, res.preds, 0)
+
+
+def test_bfs_pull_sweeps_path():
+    """bfs_device routes non-DO traversals through the sweep engine on
+    pull2-capable graphs; labels and preds match the oracle."""
+    import numpy as np
+    import gunrock_tpu as gt
+    from gunrock_tpu.models.bfs import bfs_device
+    from tests.oracles import cpu_bfs
+
+    rng = np.random.default_rng(33)
+    n, m = 8300, 50000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g = gt.from_coo(n, src, dst, undirected=True)
+    dg = gt.to_device(g, with_csc=True, with_blocked_values=True)
+    assert dg.has_pull2
+    labels, preds, stats = bfs_device(dg, 5, mark_preds=True)
+    labels = np.asarray(labels)[:n]
+    ref = cpu_bfs(g, 5)
+    ref = ref[0] if isinstance(ref, tuple) else ref
+    np.testing.assert_array_equal(labels, np.asarray(ref)[:n])
+    preds = np.asarray(preds)[:n]
+    for v in rng.choice(n, 200, replace=False):
+        if labels[v] > 0:
+            pv = preds[v]
+            assert pv >= 0 and labels[pv] == labels[v] - 1

@@ -19,6 +19,7 @@ redistribution) is available via ``compensate=True``.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional, Union
 
@@ -118,6 +119,63 @@ _pr_jit = jax.jit(
 )
 
 
+@partial(jax.jit, static_argnames=("iters", "damping", "reset",
+                                   "threshold", "interpret", "cont"))
+def _pr_power_jit(graph, init_or_rank, *, iters: int, damping: float,
+                  reset: float, threshold: float, interpret: bool,
+                  cont: bool):
+    from ..ops.pull2 import pull_power_iters
+    if cont:
+        init = init_or_rank
+    else:
+        n = graph.num_nodes
+        vmask = jnp.arange(graph.v_pad, dtype=jnp.int32) < n
+        init = jnp.where(vmask, init_or_rank, 0.0).astype(jnp.float32)
+    return pull_power_iters(graph, init, iters=iters, damping=damping,
+                            reset=reset, threshold=threshold,
+                            interpret=interpret)
+
+
+def _pagerank_power(graph: DeviceGraph, *, damping: float,
+                    threshold: float, max_iters: int, normalized: bool):
+    """Whole-run in-kernel power iterations (``ops.pull2`` kernel P):
+    contribution weights 1/outdeg ride the static pv2_wpr stream, the
+    reset/damping/mask/convergence epilogue fuses into the kernel, and
+    rank ping-pongs in VMEM — no per-iteration V-scale XLA writes."""
+    import time as _time      # noqa: F401  (parity with siblings)
+    interp = jax.default_backend() != "tpu"
+    n = graph.num_nodes
+    reset = (1.0 - damping) / n if normalized else 1.0 - damping
+    init0 = jnp.float32((1.0 / n) if normalized else 1.0 - damping)
+    chunk = max_iters if threshold <= 0 else \
+        int(os.environ.get("GUNROCK_PR_CHUNK", "10"))
+    total = 0
+    arg = jnp.broadcast_to(init0, (graph.v_pad,))
+    cont = False
+    frontiers = []
+    while True:
+        rank, chg = _pr_power_jit(graph, arg, iters=min(
+            chunk, max_iters - total), damping=float(damping),
+            reset=float(reset), threshold=float(threshold),
+            interpret=interp, cont=cont)
+        chg_np = np.asarray(chg)
+        frontiers.extend(chg_np.tolist())
+        total += len(chg_np)
+        if chg_np[-1] == 0 or total >= max_iters:
+            break
+        arg, cont = rank, True
+    order = jnp.argsort(-rank).astype(jnp.int32)
+    stats = LoopStats(
+        iteration=jnp.int32(total),
+        nodes_queued=jnp.float32(sum(frontiers)),
+        edges_queued=jnp.float32(graph.num_edges) * total,
+        chunk_edges=jnp.int32(0),
+        overflow=jnp.bool_(False),
+        frontier_trace=jnp.asarray(
+            (frontiers + [-1] * 512)[:512], jnp.int32))
+    return rank, order, stats
+
+
 def pagerank_device(graph: DeviceGraph, *, damping: float = 0.85,
                     threshold: float = 1e-6, max_iters: int = 50,
                     normalized: bool = True, compensate: bool = False,
@@ -131,6 +189,12 @@ def pagerank_device(graph: DeviceGraph, *, damping: float = 0.85,
     if pallas is None:
         pallas = (jax.default_backend() == "tpu" and
                   graph.has_blocked_values)
+    if (getattr(graph, "has_pull2", False) and not compensate
+            and instrument is None
+            and os.environ.get("GUNROCK_PR_POWER", "1") == "1"):
+        return _pagerank_power(graph, damping=damping,
+                               threshold=threshold, max_iters=max_iters,
+                               normalized=normalized)
 
     def chunk(st, upto, first):
         return _pr_jit(graph, st, jnp.int32(upto), jnp.float32(threshold),

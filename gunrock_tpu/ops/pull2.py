@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_kernels import _seg_scan_val
 
-__all__ = ["pull_reduce2", "pull_min_sweeps", "PULL2_MAX_ROWS"]
+__all__ = ["pull_reduce2", "pull_min_sweeps", "pull_power_iters",
+           "PULL2_MAX_ROWS"]
 
 LANE = 128
 PULL2_MAX_ROWS = 16384       # accumulator rows cap (8 MB f32 VMEM at 16k)
@@ -565,4 +566,251 @@ def pull_min_sweeps(graph, init: jax.Array, *, sweeps: int,
         span_rows=graph.pv2_span_rows,
         block_rows=graph.pv2_block_rows, wmode=wmode, sweeps=sweeps,
         interpret=interpret)
+    return out.reshape(-1), chg[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Kernel P: power iterations — PageRank-family (PR/HITS-norm/SALSA/WTF
+# phases) run ENTIRELY in one kernel. Rank ping-pongs between the output
+# accumulator and a VMEM scratch buffer across a (iters, nblocks) grid;
+# the per-iteration epilogue (rank' = reset + damping*acc, vertex mask,
+# |delta|>threshold count) fuses into the final block of each iteration.
+# Kills the ~40 ms/iter of V-scale XLA writes (contrib multiply, reset
+# update, mask, convergence compare, while-carry) the round-4 PR paid
+# around its pull (reference full-frontier push: pr_enactor.cuh:326-341;
+# here the contribution weights 1/outdeg[src] ride the static pv2_wpr
+# edge stream).
+# ---------------------------------------------------------------------------
+
+
+def _power_kernel(rows_v: int, rpg_v: int, span_rows: int,
+                  block_rows: int, nblocks: int, n_nodes: int,
+                  damping: float, reset: float, threshold: float,
+                  *refs):
+    (gob_ref, d0_ref, nt_ref, src_ref, dst_ref, w_ref, pos_ref, cb_ref,
+     init_ref, o_ref, chg_ref, buf_ref, scan_ref, posbuf, win_ref, cbbuf,
+     smi, smf, sem, sem2) = refs
+
+    r = pl.program_id(0)
+    b = pl.program_id(1)
+    g = gob_ref[b]
+    d0 = d0_ref[b]
+    BE = block_rows * LANE
+    even = r % 2 == 0
+
+    ntiles = span_rows // 32
+    cp = pltpu.make_async_copy(
+        pos_ref.at[pl.ds(g * rows_v + d0, span_rows), :], posbuf, sem)
+    cp.start()
+    cpc = pltpu.make_async_copy(
+        cb_ref.at[pl.ds(b, 1), :], cbbuf, sem2)
+    cpc.start()
+
+    @pl.when((r == 0) & (b == 0))
+    def _():
+        o_ref[...] = init_ref[...]
+
+    @pl.when(b == 0)
+    def _():
+        # zero the write-side buffer; reset carry + changed counter
+        @pl.when(even)
+        def _():
+            buf_ref[...] = jnp.zeros((rows_v, LANE), jnp.float32)
+
+        @pl.when(jnp.logical_not(even))
+        def _():
+            o_ref[...] = jnp.zeros((rows_v, LANE), jnp.float32)
+        smi[0, 0] = -1
+        smi[0, 2] = 0
+        smf[0, 0] = jnp.float32(0.0)
+
+    src = src_ref[...]
+    dst = dst_ref[...]
+    shape = src.shape
+    vrow_l = jax.lax.shift_right_logical(src, 7) - g * rpg_v
+    vlane = src & (LANE - 1)
+
+    def gather_from(t_ref):
+        def body(gg, acc):
+            slab = t_ref[pl.ds(g * rpg_v + gg * 8, 8), :]
+            for u in range(8):
+                rowv = jnp.broadcast_to(slab[u:u + 1, :], shape)
+                rowc = jnp.take_along_axis(rowv, vlane, axis=1)
+                acc = jnp.where(vrow_l == gg * 8 + u, rowc, acc)
+            return acc
+        return jax.lax.fori_loop(0, rpg_v // 8, body,
+                                 jnp.zeros(shape, jnp.float32))
+
+    val = jax.lax.cond(even, lambda: gather_from(o_ref),
+                       lambda: gather_from(buf_ref))
+    val = val * w_ref[...]
+
+    splice = (dst == smi[0, 0])
+    rowpos = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lanepos = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    first = (rowpos == 0) & (lanepos == 0) & splice
+    val = jnp.where(first, val + smf[0, 0], val)
+    scan = _seg_scan_val(val, dst, "sum")
+    scan_ref[...] = scan
+    smf[0, 0] = scan[block_rows - 1, LANE - 1]
+    smi[0, 0] = dst[block_rows - 1, LANE - 1]
+
+    cp.wait()
+    cpc.wait()
+    base = b * BE
+    nt = nt_ref[b]
+    slab_rows = min(32, block_rows)
+    win_ref[...] = jnp.zeros((span_rows, LANE), jnp.float32)
+    for t in range(span_rows // 32):
+        @pl.when(t < nt)
+        def _():
+            enc = posbuf[t * 32:(t + 1) * 32, :]
+            p = enc & 0x7FFFFFFF
+            local = p - base
+            ok = (enc >= 0) & (local >= 0) & (local < BE)
+            lcl = jnp.clip(local, 0, BE - 1)
+            lrow = jax.lax.shift_right_logical(lcl, 7)
+            llane = lcl & (LANE - 1)
+            packed = cbbuf[0, t]
+            c0 = packed >> 16
+            c1 = packed & 0xFFFF
+
+            def visit(c, acc):
+                slab = scan_ref[pl.ds(c * slab_rows, slab_rows), :]
+                for u in range(slab_rows):
+                    rowv = jnp.broadcast_to(slab[u:u + 1, :], (32, LANE))
+                    sel = ok & (lrow == c * slab_rows + u)
+                    acc = jnp.where(
+                        sel, jnp.take_along_axis(rowv, llane, axis=1),
+                        acc)
+                return acc
+
+            contrib = jax.lax.fori_loop(
+                c0, c1 + 1, visit, jnp.zeros((32, LANE), jnp.float32))
+            win_ref[t * 32:(t + 1) * 32, :] = contrib
+
+    def rmw(acc_ref):
+        cur = acc_ref[pl.ds(d0, span_rows), :]
+        acc_ref[pl.ds(d0, span_rows), :] = cur + win_ref[...]
+
+    @pl.when(even)
+    def _():
+        rmw(buf_ref)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        rmw(o_ref)
+
+    # iteration epilogue at the last block: rank' = reset + d*acc over
+    # real vertices; count |delta| > threshold for convergence
+    @pl.when(b == nblocks - 1)
+    def _():
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (rows_v, LANE), 0)
+        lanei = jax.lax.broadcasted_iota(jnp.int32, (rows_v, LANE), 1)
+        vmask = (rowi * LANE + lanei) < n_nodes
+
+        def fin(acc_ref, old_ref):
+            acc = acc_ref[...]
+            new = jnp.where(vmask,
+                            jnp.float32(reset) + jnp.float32(damping)
+                            * acc, 0.0)
+            acc_ref[...] = new
+            nupd = jnp.sum((jnp.abs(new - old_ref[...])
+                            > jnp.float32(threshold)).astype(jnp.int32))
+            smi[0, 2] = nupd
+
+        @pl.when(even)
+        def _():
+            fin(buf_ref, o_ref)
+
+        @pl.when(jnp.logical_not(even))
+        def _():
+            fin(o_ref, buf_ref)
+        chg_ref[...] = jnp.broadcast_to(smi[0, 2].reshape(1, 1),
+                                        (1, LANE))
+
+        # final iteration: make sure the result lands in o_ref
+        @pl.when(even & (r == pl.num_programs(0) - 1))
+        def _():
+            o_ref[...] = buf_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "rows_v", "rpg_v", "span_rows", "block_rows", "n_nodes", "damping",
+    "reset", "threshold", "iters", "interpret"))
+def _power_call(init2d, src2d, dst2d, w2d, pos2d, cb2d, gob, d0row, nt,
+                *, rows_v: int, rpg_v: int, span_rows: int,
+                block_rows: int, n_nodes: int, damping: float,
+                reset: float, threshold: float, iters: int,
+                interpret: bool):
+    nblocks = src2d.shape[0] // block_rows
+    kernel = functools.partial(
+        _power_kernel, rows_v, rpg_v, span_rows, block_rows, nblocks,
+        n_nodes, damping, reset, threshold)
+    bmap = lambda r, b, go, dr, ntr: (b, 0)
+    cmap = lambda r, b, go, dr, ntr: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(iters, nblocks),
+        in_specs=[
+            pl.BlockSpec((block_rows, LANE), bmap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANE), bmap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANE), bmap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((rows_v, LANE), cmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows_v, LANE), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANE), lambda r, b, go, dr, ntr: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows_v, LANE), jnp.float32),       # ping-pong
+            pltpu.VMEM((block_rows, LANE), jnp.float32),   # scan
+            pltpu.VMEM((span_rows, LANE), jnp.int32),      # positions
+            pltpu.VMEM((span_rows, LANE), jnp.float32),    # window
+            pltpu.SMEM((1, 128), jnp.int32),               # slab ranges
+            pltpu.SMEM((1, 4), jnp.int32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((rows_v, LANE), jnp.float32),
+                   jax.ShapeDtypeStruct((iters, LANE), jnp.int32)),
+        interpret=interpret,
+    )(gob, d0row, nt, src2d, dst2d, w2d, pos2d, cb2d, init2d)
+
+
+def pull_power_iters(graph, init: jax.Array, *, iters: int,
+                     damping: float, reset: float,
+                     threshold: float = 0.0, weights: str = "wpr",
+                     interpret: bool = False):
+    """Run ``iters`` PageRank-style power iterations fully in-kernel:
+    rank' = reset + damping * sum over in-edges of rank[u] * w_uv, with
+    w from the static ``weights`` stream ("wpr" = 1/outdeg[src]).
+    Returns (rank, changed-per-iteration)."""
+    assert graph.has_pull2, "graph lacks the pull2 layout"
+    rows_v = graph.v_pad // LANE
+    w = graph.pv2_wpr if weights == "wpr" else graph.pv2_val
+    assert w is not None, f"pull2 layout lacks the {weights} stream"
+    out, chg = _power_call(
+        init.astype(jnp.float32).reshape(rows_v, LANE),
+        graph.pv2_src.reshape(-1, LANE),
+        graph.pv2_dst.reshape(-1, LANE), w.reshape(-1, LANE),
+        graph.pv2_pos.reshape(-1, LANE),
+        graph.pv2_cb.reshape(-1, 128),
+        graph.pv2_gob, graph.pv2_d0row, graph.pv2_nt,
+        rows_v=rows_v, rpg_v=rows_v // graph.pv2_groups,
+        span_rows=graph.pv2_span_rows,
+        block_rows=graph.pv2_block_rows, n_nodes=graph.num_nodes,
+        damping=float(damping), reset=float(reset),
+        threshold=float(threshold), iters=iters, interpret=interpret)
     return out.reshape(-1), chg[:, 0]

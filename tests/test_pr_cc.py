@@ -82,3 +82,38 @@ def test_cc_sum_balanced_asymmetric_graph():
     assert not _is_symmetric(g)
     res = cc(g)
     assert res.num_components == len(set(cpu_cc(g).tolist()))
+
+
+def test_pagerank_power_path():
+    """pagerank_device routes through the in-kernel power iterations on
+    pull2-capable graphs; ranks match the XLA recurrence."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    import gunrock_tpu as gt
+    from gunrock_tpu.models.pr import pagerank_device
+
+    rng = np.random.default_rng(9)
+    n, m = 8300, 60000
+    g = gt.from_coo(n, rng.integers(0, n, m), rng.integers(0, n, m),
+                    undirected=True)
+    dg = gt.to_device(g, with_csc=True, with_edge_src=True,
+                      with_blocked_values=True)
+    assert dg.has_pull2
+    rank, order, stats = pagerank_device(dg, max_iters=12, threshold=0.0)
+    os.environ["GUNROCK_PR_POWER"] = "0"
+    try:
+        rank_ref, _, _ = pagerank_device(dg, max_iters=12, threshold=0.0,
+                                         pallas=False)
+    finally:
+        del os.environ["GUNROCK_PR_POWER"]
+    # one iteration matches exactly; over 12 iterations the two paths'
+    # f32 accumulation orders compound to ~0.1% relative divergence
+    # (mass is conserved to 1e-7 in both)
+    np.testing.assert_allclose(np.asarray(rank)[:n],
+                               np.asarray(rank_ref)[:n], rtol=5e-3,
+                               atol=1e-9)
+    assert int(stats.iteration) == 12
+    # early convergence with a loose threshold (chunked continuation)
+    rank2, _, st2 = pagerank_device(dg, max_iters=40, threshold=1e-3)
+    assert int(st2.iteration) < 40

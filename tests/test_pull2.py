@@ -218,3 +218,42 @@ def test_pull_min_sweeps_bfs_and_cc():
         mins[l] = min(mins[l], v)
     expect = np.array([mins[l] for l in labels])
     np.testing.assert_array_equal(comp, expect)
+
+
+def test_pull_power_iters_pagerank():
+    """In-kernel power iterations match the XLA PageRank recurrence."""
+    from gunrock_tpu.ops.pull2 import pull_power_iters
+
+    rng = np.random.default_rng(44)
+    n = 4000
+    v_pad = 4096
+    m = 30000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    dg = _graph_device(src, dst, None, v_pad, groups=4)
+    dg = __import__("dataclasses").replace(dg, num_nodes=n)
+    d = 0.85
+    reset = (1.0 - d) / n
+    init = np.where(np.arange(v_pad) < n, 1.0 / n, 0.0).astype(np.float32)
+    rank, chg = pull_power_iters(dg, jnp.asarray(init), iters=7,
+                                 damping=d, reset=reset, interpret=True)
+    rank = np.asarray(rank)
+    # float64 oracle
+    deg = np.bincount(src, minlength=v_pad).astype(np.float64)
+    invd = np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0)
+    r = init.astype(np.float64).copy()
+    for _ in range(7):
+        inc = np.bincount(dst, weights=r[src] * invd[src],
+                          minlength=v_pad)
+        r = np.where(np.arange(v_pad) < n, reset + d * inc, 0.0)
+    np.testing.assert_allclose(rank[:n], r[:n], rtol=3e-4, atol=1e-9)
+    # odd iteration count exercises the final buf->o_ref copy
+    rank5, _ = pull_power_iters(dg, jnp.asarray(init), iters=5,
+                                damping=d, reset=reset, interpret=True)
+    r5 = init.astype(np.float64).copy()
+    for _ in range(5):
+        inc = np.bincount(dst, weights=r5[src] * invd[src],
+                          minlength=v_pad)
+        r5 = np.where(np.arange(v_pad) < n, reset + d * inc, 0.0)
+    np.testing.assert_allclose(np.asarray(rank5)[:n], r5[:n], rtol=3e-4,
+                               atol=1e-9)

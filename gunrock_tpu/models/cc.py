@@ -30,6 +30,7 @@ at the end. Component ids are the minimum vertex id in each component
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional, Union
 
@@ -257,12 +258,72 @@ def _cc_loop(graph: DeviceGraph, pallas: bool = False):
     return comp, num_components, state.stats
 
 
+@partial(jax.jit, static_argnames=("sweeps", "interpret", "cont"))
+def _cc_sweeps_jit(graph, arg, *, sweeps: int, interpret: bool,
+                   cont: bool):
+    from ..ops.pull2 import pull_min_sweeps
+    if cont:
+        init = arg
+    else:
+        v = jnp.arange(graph.v_pad, dtype=jnp.int32).astype(jnp.float32)
+        init = jnp.where(jnp.arange(graph.v_pad) < graph.num_nodes, v,
+                         jnp.inf)
+    return pull_min_sweeps(graph, init, sweeps=sweeps, wmode="none",
+                           interpret=interpret)
+
+
+def _cc_sweeps(graph: DeviceGraph):
+    interp = jax.default_backend() != "tpu"
+    rounds = int(os.environ.get("GUNROCK_CC_SWEEP_CHUNK", "6"))
+    total = 0
+    arg = jnp.int32(0)
+    cont = False
+    chgs = []
+    while True:
+        comp_f, chg = _cc_sweeps_jit(graph, arg, sweeps=rounds,
+                                     interpret=interp, cont=cont)
+        chg_np = np.asarray(chg)
+        chgs.extend(chg_np.tolist())
+        total += rounds
+        if any(c == 0 for c in chg_np[0::2]) or \
+                total >= 4 * graph.num_nodes + 16:
+            break
+        arg, cont = comp_f, True
+    comp, num_components = _cc_sweeps_extract(graph, comp_f)
+    stats = LoopStats(
+        iteration=jnp.int32(total),
+        nodes_queued=jnp.float32(sum(chgs)),
+        edges_queued=jnp.float32(graph.num_edges) * total,
+        chunk_edges=jnp.int32(0), overflow=jnp.bool_(False),
+        frontier_trace=jnp.asarray((chgs + [-1] * 512)[:512], jnp.int32))
+    return comp, num_components, stats
+
+
+@jax.jit
+def _cc_sweeps_extract(graph, comp_f):
+    vmask = jnp.arange(graph.v_pad, dtype=jnp.int32) < graph.num_nodes
+    ids = jnp.arange(graph.v_pad, dtype=jnp.int32)
+    comp = jnp.where(vmask,
+                     jnp.where(jnp.isfinite(comp_f),
+                               comp_f.astype(jnp.int32), ids), 0)
+    is_root = vmask & (comp == ids)
+    return comp, jnp.sum(is_root.astype(jnp.int32))
+
+
 def cc_device(graph: DeviceGraph, *, instrument: Optional[list] = None):
     """``instrument``: pass a list to enact one phase-3 round per device
     call and collect per-round wall-clock records (reference
     ``--instrumented`` kernel stats, ``util/kernel_runtime_stats.cuh``)."""
     use_pallas = (jax.default_backend() == "tpu" and
                   graph.has_blocked_values)
+    if (getattr(graph, "has_pull2", False) and instrument is None
+            and os.environ.get("GUNROCK_CC_SWEEPS", "1") == "1"):
+        # Gauss-Seidel min-label propagation in VMEM (ops/pull2 kernel
+        # B): comp[v] converges to the minimum vertex id of its weakly-
+        # connected component in a few alternating sweeps — no per-round
+        # V-scale buffer rewrites. Input must carry symmetric edges
+        # (cc() symmetrizes; same contract as the hooking path).
+        return _cc_sweeps(graph)
     if graph.edge_src is None and not use_pallas:
         raise ValueError("CC needs to_device(with_edge_src=True)")
     max_iters = 4 * graph.num_nodes + 16

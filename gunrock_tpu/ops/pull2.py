@@ -147,11 +147,11 @@ def _pull2_kernel(rows_v: int, rpg_v: int, span_rows: int, block_rows: int,
     smi[0, 1] = g
 
     cp.wait()
-    if ablate == "noextract":      # probe hook: gather+scan cost only
+    cpc.wait()                     # ALWAYS drain (an in-flight DMA at
+    if ablate == "noextract":      # kernel end wedges the device)
         o_ref[pl.ds(d0, 8), :] = jnp.broadcast_to(
             scan[0:1, :], (8, LANE))
         return
-    cpc.wait()
     base = k * BE
     nt = nt_ref[k]
     slab_rows = min(32, block_rows)

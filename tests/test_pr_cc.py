@@ -117,3 +117,32 @@ def test_pagerank_power_path():
     # early convergence with a loose threshold (chunked continuation)
     rank2, _, st2 = pagerank_device(dg, max_iters=40, threshold=1e-3)
     assert int(st2.iteration) < 40
+
+
+def test_cc_sweeps_path():
+    """cc_device routes through min-label sweeps on pull2-capable
+    graphs; labels are canonical min-ids matching scipy components."""
+    import numpy as np
+    import gunrock_tpu as gt
+    from gunrock_tpu.models.cc import cc_device
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    rng = np.random.default_rng(17)
+    n, m = 8300, 12000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g = gt.from_coo(n, src, dst, undirected=True)
+    dg = gt.to_device(g, with_edge_src=True, with_blocked_values=True)
+    assert dg.has_pull2
+    comp, ncc, stats = cc_device(dg)
+    comp = np.asarray(comp)[:n]
+    mat = csr_matrix((np.ones(m), (src, dst)), shape=(n, n))
+    ncc_ref, labels = connected_components(mat, directed=False)
+    assert int(ncc) == ncc_ref
+    import collections
+    mins = collections.defaultdict(lambda: 1 << 60)
+    for v, l in enumerate(labels):
+        mins[l] = min(mins[l], v)
+    expect = np.array([mins[l] for l in labels])
+    np.testing.assert_array_equal(comp, expect)

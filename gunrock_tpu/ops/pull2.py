@@ -364,7 +364,8 @@ def _sweeps_kernel(rows_v: int, rpg_v: int, span_rows: int,
         smi[0, 1] = -1                     # carry group
         smf[0, 0] = identity
 
-    chg_ref[...] = jnp.broadcast_to(smi[0, 2].reshape(1, 1), (1, LANE))
+    chg_ref[pl.ds(r, 1), :] = jnp.broadcast_to(
+        smi[0, 2].reshape(1, 1), (1, LANE))
 
     # active if dirty from the previous sweep OR dirtied earlier in THIS
     # sweep (keeps full Gauss-Seidel within-sweep propagation when the
@@ -462,8 +463,8 @@ def _sweeps_kernel(rows_v: int, rpg_v: int, span_rows: int,
                 gg = jnp.minimum(d0 // rpg_v + j, kgroups - 1)
                 nxt[0, gg] = 1
 
-        chg_ref[...] = jnp.broadcast_to(smi[0, 2].reshape(1, 1),
-                                        (1, LANE))
+        chg_ref[pl.ds(r, 1), :] = jnp.broadcast_to(
+            smi[0, 2].reshape(1, 1), (1, LANE))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -507,7 +508,8 @@ def _sweeps_call(init2d, src2d, dst2d, w2d, pos2d, cb2d, gob, d0row, nt,
             pl.BlockSpec((rows_v, LANE),
                          lambda r, b, go, dr, ntr, a0: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE), lambda r, b, go, dr, ntr, a0: (r, 0),
+            pl.BlockSpec((sweeps, LANE),
+                         lambda r, b, go, dr, ntr, a0: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -726,8 +728,8 @@ def _power_kernel(rows_v: int, rpg_v: int, span_rows: int,
         @pl.when(jnp.logical_not(even))
         def _():
             fin(o_ref, buf_ref)
-        chg_ref[...] = jnp.broadcast_to(smi[0, 2].reshape(1, 1),
-                                        (1, LANE))
+        chg_ref[pl.ds(r, 1), :] = jnp.broadcast_to(
+            smi[0, 2].reshape(1, 1), (1, LANE))
 
         # final iteration: make sure the result lands in o_ref
         @pl.when(even & (r == pl.num_programs(0) - 1))
@@ -765,7 +767,7 @@ def _power_call(init2d, src2d, dst2d, w2d, pos2d, cb2d, gob, d0row, nt,
         ],
         out_specs=(
             pl.BlockSpec((rows_v, LANE), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE), lambda r, b, go, dr, ntr: (r, 0),
+            pl.BlockSpec((iters, LANE), lambda r, b, go, dr, ntr: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[

@@ -73,7 +73,7 @@ def _pull2_kernel(rows_v: int, rpg_v: int, span_rows: int, block_rows: int,
         init_ref = refs[i]
         i += 1
     (o_ref, scan_ref, posbuf, win_ref, cbbuf, smi, smf, sem,
-     sem2) = refs[i:i + 9]
+     sem2, sem3) = refs[i:i + 10]
 
     k = pl.program_id(0)
     g = gob_ref[k]
@@ -94,7 +94,11 @@ def _pull2_kernel(rows_v: int, rpg_v: int, span_rows: int, block_rows: int,
     @pl.when(k == 0)
     def _():
         if has_init:
-            o_ref[...] = init_ref[...]
+            # init lives in ANY memory; one blocking DMA into the
+            # accumulator
+            cpi = pltpu.make_async_copy(init_ref, o_ref, sem3)
+            cpi.start()
+            cpi.wait()
         else:
             o_ref[...] = jnp.full((rows_v, LANE), identity, jnp.float32)
         smi[0, 0] = -1            # carry dst key
@@ -225,9 +229,7 @@ def _pull2_call(table, src2d, dst2d, w2d, pos2d, cb2d, init2d, gob,
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))      # slab ranges
     args.append(cb2d)
     if init2d is not None:
-        in_specs.append(pl.BlockSpec((rows_v, LANE),
-                                     lambda k, go, dr, ntr: (0, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # DMA'd once
         args.append(init2d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -245,6 +247,7 @@ def _pull2_call(table, src2d, dst2d, w2d, pos2d, cb2d, init2d, gob,
             pltpu.SMEM((1, 1), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),                   # init copy
         ],
     )
     return pl.pallas_call(
@@ -322,7 +325,7 @@ def _sweeps_kernel(rows_v: int, rpg_v: int, span_rows: int,
     pos_ref, cb_ref, init_ref = refs[i:i + 3]
     i += 3
     (o_ref, chg_ref, scan_ref, posbuf, win_ref, cbbuf, smi, smf, act,
-     nxt, sem, sem2) = refs[i:i + 12]
+     nxt, sem, sem2, sem3) = refs[i:i + 13]
 
     r = pl.program_id(0)
     b = pl.program_id(1)
@@ -335,7 +338,11 @@ def _sweeps_kernel(rows_v: int, rpg_v: int, span_rows: int,
 
     @pl.when((r == 0) & (b == 0))
     def _():
-        o_ref[...] = init_ref[...]
+        # init lives in ANY memory (VMEM can't afford a resident copy):
+        # one blocking DMA straight into the accumulator
+        cpi = pltpu.make_async_copy(init_ref, o_ref, sem3)
+        cpi.start()
+        cpi.wait()
         smi[0, 2] = 0                      # per-sweep changed counter
         for gg in range(kgroups):
             # seed from the groups holding finite init entries; the
@@ -496,9 +503,7 @@ def _sweeps_call(init2d, src2d, dst2d, w2d, pos2d, cb2d, gob, d0row, nt,
     args.append(pos2d)
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # slab ranges
     args.append(cb2d)
-    in_specs.append(pl.BlockSpec((rows_v, LANE),
-                                 lambda r, b, go, dr, ntr, a0: (0, 0),
-                                 memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # init (DMA'd once)
     args.append(init2d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -523,6 +528,7 @@ def _sweeps_call(init2d, src2d, dst2d, w2d, pos2d, cb2d, gob, d0row, nt,
             pltpu.SMEM((1, kgroups), jnp.int32),           # next act
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),                   # init copy
         ],
     )
     return pl.pallas_call(
@@ -591,7 +597,7 @@ def _power_kernel(rows_v: int, rpg_v: int, span_rows: int,
                   *refs):
     (gob_ref, d0_ref, nt_ref, src_ref, dst_ref, w_ref, pos_ref, cb_ref,
      init_ref, o_ref, chg_ref, buf_ref, scan_ref, posbuf, win_ref, cbbuf,
-     smi, smf, sem, sem2) = refs
+     smi, smf, sem, sem2, sem3) = refs
 
     r = pl.program_id(0)
     b = pl.program_id(1)
@@ -610,18 +616,34 @@ def _power_kernel(rows_v: int, rpg_v: int, span_rows: int,
 
     @pl.when((r == 0) & (b == 0))
     def _():
-        o_ref[...] = init_ref[...]
+        # init lives in ANY memory; one blocking DMA into the accumulator
+        cpi = pltpu.make_async_copy(init_ref, o_ref, sem3)
+        cpi.start()
+        cpi.wait()
+
+    # V-scale whole-buffer ops run in row slabs: a full (rows_v, LANE)
+    # temporary is 4 MB of VMEM *stack* (the epilogue would need 3) and
+    # blows the scoped-vmem limit at V=1M.
+    SLAB = 512 if rows_v % 512 == 0 else rows_v
+    nslab = rows_v // SLAB
+
+    def _zero_slabs(ref):
+        def zb(s, c):
+            ref[pl.ds(s * SLAB, SLAB), :] = jnp.zeros((SLAB, LANE),
+                                                      jnp.float32)
+            return c
+        jax.lax.fori_loop(0, nslab, zb, 0)
 
     @pl.when(b == 0)
     def _():
         # zero the write-side buffer; reset carry + changed counter
         @pl.when(even)
         def _():
-            buf_ref[...] = jnp.zeros((rows_v, LANE), jnp.float32)
+            _zero_slabs(buf_ref)
 
         @pl.when(jnp.logical_not(even))
         def _():
-            o_ref[...] = jnp.zeros((rows_v, LANE), jnp.float32)
+            _zero_slabs(o_ref)
         smi[0, 0] = -1
         smi[0, 2] = 0
         smf[0, 0] = jnp.float32(0.0)
@@ -707,19 +729,22 @@ def _power_kernel(rows_v: int, rpg_v: int, span_rows: int,
     # real vertices; count |delta| > threshold for convergence
     @pl.when(b == nblocks - 1)
     def _():
-        rowi = jax.lax.broadcasted_iota(jnp.int32, (rows_v, LANE), 0)
-        lanei = jax.lax.broadcasted_iota(jnp.int32, (rows_v, LANE), 1)
-        vmask = (rowi * LANE + lanei) < n_nodes
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (SLAB, LANE), 0)
+        lanei = jax.lax.broadcasted_iota(jnp.int32, (SLAB, LANE), 1)
 
         def fin(acc_ref, old_ref):
-            acc = acc_ref[...]
-            new = jnp.where(vmask,
-                            jnp.float32(reset) + jnp.float32(damping)
-                            * acc, 0.0)
-            acc_ref[...] = new
-            nupd = jnp.sum((jnp.abs(new - old_ref[...])
-                            > jnp.float32(threshold)).astype(jnp.int32))
-            smi[0, 2] = nupd
+            def body(s, cnt):
+                vmask = ((s * SLAB + rowi) * LANE + lanei) < n_nodes
+                acc = acc_ref[pl.ds(s * SLAB, SLAB), :]
+                new = jnp.where(vmask,
+                                jnp.float32(reset) + jnp.float32(damping)
+                                * acc, 0.0)
+                acc_ref[pl.ds(s * SLAB, SLAB), :] = new
+                old = old_ref[pl.ds(s * SLAB, SLAB), :]
+                return cnt + jnp.sum((jnp.abs(new - old)
+                                      > jnp.float32(threshold))
+                                     .astype(jnp.int32))
+            smi[0, 2] = jax.lax.fori_loop(0, nslab, body, jnp.int32(0))
 
         @pl.when(even)
         def _():
@@ -734,7 +759,11 @@ def _power_kernel(rows_v: int, rpg_v: int, span_rows: int,
         # final iteration: make sure the result lands in o_ref
         @pl.when(even & (r == pl.num_programs(0) - 1))
         def _():
-            o_ref[...] = buf_ref[...]
+            def cpb(s, c):
+                o_ref[pl.ds(s * SLAB, SLAB), :] = \
+                    buf_ref[pl.ds(s * SLAB, SLAB), :]
+                return c
+            jax.lax.fori_loop(0, nslab, cpb, 0)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -763,7 +792,7 @@ def _power_call(init2d, src2d, dst2d, w2d, pos2d, cb2d, gob, d0row, nt,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((rows_v, LANE), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # init (DMA'd once)
         ],
         out_specs=(
             pl.BlockSpec((rows_v, LANE), cmap, memory_space=pltpu.VMEM),
@@ -780,6 +809,7 @@ def _power_call(init2d, src2d, dst2d, w2d, pos2d, cb2d, gob, d0row, nt,
             pltpu.SMEM((1, 1), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),                   # init copy
         ],
     )
     return pl.pallas_call(

@@ -53,7 +53,8 @@ def round_up(x: int, m: int = LANE) -> int:
     ],
     meta_fields=["num_nodes", "num_edges", "v_pad", "e_pad",
                  "bcsc_groups", "bcsc_rows_per_group", "bcsc_block_rows",
-                 "pv2_groups", "pv2_block_rows", "pv2_span_rows"],
+                 "pv2_groups", "pv2_block_rows", "pv2_span_rows",
+                 "undirected"],
 )
 @dataclasses.dataclass(frozen=True)
 class DeviceGraph:
@@ -130,6 +131,10 @@ class DeviceGraph:
     pv2_groups: int = 0
     pv2_block_rows: int = 0
     pv2_span_rows: int = 0
+    # Symmetric edge set (built with undirected=True): pull-over-
+    # in-edges kernels that need OUT-edge reductions (Brandes backward)
+    # gate on this instead of building a transpose layout.
+    undirected: bool = False
 
     @property
     def has_pull2(self) -> bool:
@@ -571,5 +576,6 @@ def to_device(
         csc_indices=csc_idx,
         csc_edge_values=csc_ev,
         csc_edge_dst=csc_dst,
+        undirected=bool(getattr(g, "undirected", False)),
         **blocked,
     )

@@ -559,9 +559,82 @@ def _bc_pull(graph: DeviceGraph, src: int, chunk: int = 16,
     return bc_vals, sigma, labels, stats
 
 
+# ---------------------------------------------------------------------------
+# Kernel-C Brandes (ops/pull2.brandes_{fwd,bwd}_levels): both phases run
+# as level-gated sum-pulls with labels/sigma/delta VMEM-resident across
+# levels — ~4 device calls for a scale-free graph instead of per-level
+# XLA glue. Pull reduces over in-edges, so the backward recurrence
+# (out-edge reduction, bc_functor.cuh:203-238) requires a symmetric
+# edge set: the route gates on graph.undirected.
+# ---------------------------------------------------------------------------
+
+def _bc_pull2(graph: DeviceGraph, src: int, instrument=None):
+    import os
+    import time as _time
+    from ..ops.pull2 import brandes_bwd_levels, brandes_fwd_levels
+    interp = jax.default_backend() != "tpu"
+    v_pad = graph.v_pad
+    lab = jnp.full((v_pad,), jnp.inf, jnp.float32).at[src].set(0.0)
+    sig = jnp.zeros((v_pad,), jnp.float32).at[src].set(1.0)
+    CH = max(1, int(os.environ.get("GUNROCK_BC_LEVELS", "8")))
+    d = 1
+    frontiers = []
+    t0 = _time.perf_counter()
+    while True:
+        lab, sig, chg = brandes_fwd_levels(graph, lab, sig, d0=d,
+                                           levels=CH, interpret=interp)
+        chg_np = np.asarray(chg)
+        if instrument is not None:
+            t1 = _time.perf_counter()
+            instrument.append({"phase": "forward", "level": d + CH - 1,
+                               "ms": (t1 - t0) * 1e3,
+                               "discovered": int(chg_np.sum())})
+            t0 = t1
+        frontiers.extend(chg_np.tolist())
+        nz = np.nonzero(chg_np == 0)[0]
+        if len(nz):
+            depth = d + int(nz[0]) - 1   # last discovering level
+            break
+        d += CH
+        if d > graph.num_nodes:
+            depth = d - 1
+            break
+    delta = jnp.zeros((v_pad,), jnp.float32)
+    t = depth - 1
+    t0 = _time.perf_counter()
+    while t >= 0:
+        n = min(CH, t + 1)
+        delta, _ = brandes_bwd_levels(graph, lab, sig, delta, t0=t,
+                                      levels=n, interpret=interp)
+        if instrument is not None:
+            np.asarray(delta[:1])
+            t1 = _time.perf_counter()
+            instrument.append({"phase": "backward", "level": t,
+                               "ms": (t1 - t0) * 1e3})
+            t0 = t1
+        t -= n
+    bc_vals = jnp.where(jnp.arange(v_pad) == src, 0.0, delta)
+    labels = jnp.where(jnp.isfinite(lab), lab,
+                       jnp.float32(-1)).astype(jnp.int32)
+    reached = labels >= 0
+    deg = graph.row_offsets[1:] - graph.row_offsets[:-1]
+    edges_q = jnp.sum(jnp.where(reached, deg, 0)).astype(jnp.float32)
+    nodes_q = jnp.sum(reached.astype(jnp.int32)).astype(jnp.float32)
+    stats = init_stats()
+    stats = dataclasses.replace(
+        stats, iteration=jnp.int32(depth), edges_queued=edges_q,
+        nodes_queued=nodes_q,
+        frontier_trace=jnp.asarray(
+            ([int(x) for x in frontiers] + [-1] * 512)[:512], jnp.int32))
+    return bc_vals, sig, labels, stats
+
+
 def bc_device(graph: DeviceGraph, src, *, queue_sizing: float = 1.0,
               instrument=None, fused=None):
     import os
+    if (getattr(graph, "has_pull2", False) and graph.undirected
+            and os.environ.get("GUNROCK_BC_PULL2", "1") == "1"):
+        return _bc_pull2(graph, int(src), instrument=instrument)
     use_pallas = (jax.default_backend() == "tpu" and
                   graph.has_blocked_values)
     if fused is None:

@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_kernels import _seg_scan_val
 
 __all__ = ["pull_reduce2", "pull_min_sweeps", "pull_power_iters",
-           "PULL2_MAX_ROWS"]
+           "brandes_fwd_levels", "brandes_bwd_levels", "PULL2_MAX_ROWS"]
 
 LANE = 128
 PULL2_MAX_ROWS = 16384       # accumulator rows cap (8 MB f32 VMEM at 16k)
@@ -846,3 +846,340 @@ def pull_power_iters(graph, init: jax.Array, *, iters: int,
         damping=float(damping), reset=float(reset),
         threshold=float(threshold), iters=iters, interpret=interpret)
     return out.reshape(-1), chg[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Kernel C: whole-run Brandes — both BC phases as level-synchronous
+# level-gated sum-pulls over a (levels, nblocks) grid with ALL state
+# (labels, sigma, delta) VMEM-resident across levels.
+#
+# Forward (levels ascending): gated[u] = sigma[u] if lab[u] == d-1 else
+# 0; one full gated sum-pull per level lands per-vertex totals in an
+# accumulator; the last block's epilogue discovers lab==inf vertices
+# with acc>0 at depth d and sets sigma=acc (replacing the reference's
+# atomicAdd forward functor, app/bc/bc_functor.cuh:56-71). Backward
+# (levels descending): gated[v] = (1+delta[v])/sigma[v] if lab[v]==t+1;
+# delta[u] = sigma[u]*acc[u] on the level-t ring
+# (bc_functor.cuh:203-238). The pull layout reduces over IN-edges, so
+# the backward pass requires a symmetric edge set (undirected graphs —
+# the kernel-C route gates on it; directed graphs take the hybrid
+# enactor).
+#
+# Per-level prologue (block 0) rebuilds the gated gather table, zeroes
+# the accumulator, and recomputes per-group activity (any nonzero gated
+# entry) so blocks of quiet groups skip — tail levels of a scale-free
+# traversal cost ~nothing. Replaces the round-4 path's ~2x depth
+# full XLA value passes + per-level V-scale glue (models/bc.py
+# _fwd_level_pull/_bwd_level_pull).
+# ---------------------------------------------------------------------------
+
+
+def _brandes_kernel(rows_v: int, rpg_v: int, span_rows: int,
+                    block_rows: int, nblocks: int, kgroups: int,
+                    fwd: bool, *refs):
+    (gob_ref, d0_ref, dz_ref, nt_ref, src_ref, dst_ref, pos_ref, cb_ref,
+     ilab_ref, isig_ref) = refs[:10]
+    i = 10
+    idel_ref = None
+    if not fwd:
+        idel_ref = refs[i]
+        i += 1
+    if fwd:
+        (lab_ref, sig_ref, chg_ref) = refs[i:i + 3]
+        i += 3
+        del_ref = None
+    else:
+        (del_ref, chg_ref) = refs[i:i + 2]
+        i += 2
+        lab_ref, sig_ref = refs[i], refs[i + 1]   # scratch in bwd
+        i += 2
+    (gated, scan_ref, posbuf, win_ref, cbbuf, smi, smf, act,
+     sem, sem2, sem3) = refs[i:i + 11]
+
+    r = pl.program_id(0)
+    b = pl.program_id(1)
+    g = gob_ref[b]
+    d0 = d0_ref[b]
+    # forward: level d = dz + r; backward: ring t = dz - r
+    lvl = jnp.where(jnp.bool_(fwd), dz_ref[0] + r, dz_ref[0] - r) \
+        .astype(jnp.float32)
+    INF = jnp.float32(jnp.inf)
+    BE = block_rows * LANE
+    SLAB = 512 if rows_v % 512 == 0 else rows_v
+    nslab = rows_v // SLAB
+
+    @pl.when((r == 0) & (b == 0))
+    def _():
+        cpi = pltpu.make_async_copy(ilab_ref, lab_ref, sem3)
+        cpi.start()
+        cpi.wait()
+        cpi = pltpu.make_async_copy(isig_ref, sig_ref, sem3)
+        cpi.start()
+        cpi.wait()
+        if not fwd:
+            cpi = pltpu.make_async_copy(idel_ref, del_ref, sem3)
+            cpi.start()
+            cpi.wait()
+
+    @pl.when(b == 0)
+    def _():
+        # per-level prologue: rebuild the gated gather table. Level sums
+        # accumulate DIRECTLY into sig (fwd) / delta (bwd), gated by
+        # label — discovered vertices' entries are final and the window
+        # combine never touches them, so no separate accumulator buffer
+        # (the 4 MB that blew the 16 MB scoped-vmem budget at V=1M).
+        def pro(s, c):
+            sl = pl.ds(s * SLAB, SLAB)
+            l = lab_ref[sl]
+            if fwd:
+                gv = jnp.where(l == lvl - 1.0, sig_ref[sl], 0.0)
+            else:
+                gv = jnp.where(
+                    l == lvl + 1.0,
+                    (1.0 + del_ref[sl])
+                    / jnp.maximum(sig_ref[sl], jnp.float32(1e-30)), 0.0)
+            gated[sl] = gv
+            return c
+        jax.lax.fori_loop(0, nslab, pro, 0)
+        # per-group activity: any nonzero gated entry
+        def actg(gg, c):
+            s = jnp.sum((gated[pl.ds(gg * rpg_v, rpg_v), :]
+                         != 0.0).astype(jnp.int32))
+            act[0, gg] = (s > 0).astype(jnp.int32)
+            return c
+        jax.lax.fori_loop(0, kgroups, actg, 0)
+        smi[0, 0] = -1                     # carry dst key
+        smi[0, 1] = -1                     # carry group
+        smi[0, 2] = 0                      # level changed count
+        smf[0, 0] = jnp.float32(0.0)
+
+    @pl.when(act[0, g] > 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            pos_ref.at[pl.ds(g * rows_v + d0, span_rows), :], posbuf, sem)
+        cp.start()
+        cpc = pltpu.make_async_copy(
+            cb_ref.at[pl.ds(b, 1), :], cbbuf, sem2)
+        cpc.start()
+
+        src = src_ref[...]
+        dst = dst_ref[...]
+        shape = src.shape
+        vrow_l = jax.lax.shift_right_logical(src, 7) - g * rpg_v
+        vlane = src & (LANE - 1)
+
+        def body(gg, a):
+            slab = gated[pl.ds(g * rpg_v + gg * 8, 8), :]
+            for u in range(8):
+                rowv = jnp.broadcast_to(slab[u:u + 1, :], shape)
+                rowc = jnp.take_along_axis(rowv, vlane, axis=1)
+                a = jnp.where(vrow_l == gg * 8 + u, rowc, a)
+            return a
+
+        val = jax.lax.fori_loop(0, rpg_v // 8, body,
+                                jnp.zeros(shape, jnp.float32))
+        # sum-splice the carry into the first lane, guarded by (dst,
+        # group) — whole groups skip together, so a same-group splice
+        # target always ran
+        splice = (dst == smi[0, 0]) & (g == smi[0, 1])
+        rowpos = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lanepos = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        first = (rowpos == 0) & (lanepos == 0) & splice
+        val = jnp.where(first, val + smf[0, 0], val)
+        scan = _seg_scan_val(val, dst, "sum")
+        scan_ref[...] = scan
+        smf[0, 0] = scan[block_rows - 1, LANE - 1]
+        smi[0, 0] = dst[block_rows - 1, LANE - 1]
+        smi[0, 1] = g
+
+        cp.wait()
+        cpc.wait()
+        base = b * BE
+        nt = nt_ref[b]
+        slab_rows = min(32, block_rows)
+        win_ref[...] = jnp.zeros((span_rows, LANE), jnp.float32)
+        for t in range(span_rows // 32):
+            @pl.when(t < nt)
+            def _():
+                enc = posbuf[t * 32:(t + 1) * 32, :]
+                p = enc & 0x7FFFFFFF
+                local = p - base
+                ok = (enc >= 0) & (local >= 0) & (local < BE)
+                lcl = jnp.clip(local, 0, BE - 1)
+                lrow = jax.lax.shift_right_logical(lcl, 7)
+                llane = lcl & (LANE - 1)
+                packed = cbbuf[0, t]
+                c0 = packed >> 16
+                c1 = packed & 0xFFFF
+
+                def visit(c, a):
+                    slab = scan_ref[pl.ds(c * slab_rows, slab_rows), :]
+                    for u in range(slab_rows):
+                        rowv = jnp.broadcast_to(slab[u:u + 1, :],
+                                                (32, LANE))
+                        sel = ok & (lrow == c * slab_rows + u)
+                        a = jnp.where(
+                            sel,
+                            jnp.take_along_axis(rowv, llane, axis=1),
+                            a)
+                    return a
+
+                contrib = jax.lax.fori_loop(
+                    c0, c1 + 1, visit,
+                    jnp.zeros((32, LANE), jnp.float32))
+                win_ref[t * 32:(t + 1) * 32, :] = contrib
+        lwin = lab_ref[pl.ds(d0, span_rows), :]
+        if fwd:
+            tgt, gate = sig_ref, lwin == INF
+        else:
+            tgt, gate = del_ref, lwin == lvl
+        cur = tgt[pl.ds(d0, span_rows), :]
+        tgt[pl.ds(d0, span_rows), :] = jnp.where(
+            gate, cur + win_ref[...], cur)
+
+    # level epilogue at the last block
+    @pl.when(b == nblocks - 1)
+    def _():
+        def epi(s, cnt):
+            sl = pl.ds(s * SLAB, SLAB)
+            l = lab_ref[sl]
+            if fwd:
+                m = (l == INF) & (sig_ref[sl] > 0)
+                lab_ref[sl] = jnp.where(m, lvl, l)
+            else:
+                m = l == lvl
+                del_ref[sl] = jnp.where(m, sig_ref[sl] * del_ref[sl],
+                                        del_ref[sl])
+            return cnt + jnp.sum(m.astype(jnp.int32))
+        smi[0, 2] = jax.lax.fori_loop(0, nslab, epi, jnp.int32(0))
+        chg_ref[pl.ds(r, 1), :] = jnp.broadcast_to(
+            smi[0, 2].reshape(1, 1), (1, LANE))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "rows_v", "rpg_v", "span_rows", "block_rows", "fwd", "levels",
+    "interpret"))
+def _brandes_call(ilab2d, isig2d, idel2d, src2d, dst2d, pos2d, cb2d,
+                  gob, d0row, dz, nt, *, rows_v: int, rpg_v: int,
+                  span_rows: int, block_rows: int, fwd: bool,
+                  levels: int, interpret: bool):
+    nblocks = src2d.shape[0] // block_rows
+    kgroups = rows_v // rpg_v
+    kernel = functools.partial(
+        _brandes_kernel, rows_v, rpg_v, span_rows, block_rows, nblocks,
+        kgroups, fwd)
+    bmap = lambda r, b, go, dr, dzr, ntr: (b, 0)
+    cmap = lambda r, b, go, dr, dzr, ntr: (0, 0)
+    in_specs = [
+        pl.BlockSpec((block_rows, LANE), bmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, LANE), bmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),   # positions
+        pl.BlockSpec(memory_space=pl.ANY),   # slab ranges
+        pl.BlockSpec(memory_space=pl.ANY),   # init lab (DMA'd once)
+        pl.BlockSpec(memory_space=pl.ANY),   # init sig
+    ]
+    args = [src2d, dst2d, pos2d, cb2d, ilab2d, isig2d]
+    if not fwd:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # init delta
+        args.append(idel2d)
+    if fwd:
+        out_specs = (
+            pl.BlockSpec((rows_v, LANE), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_v, LANE), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((levels, LANE), cmap, memory_space=pltpu.VMEM),
+        )
+        out_shape = (jax.ShapeDtypeStruct((rows_v, LANE), jnp.float32),
+                     jax.ShapeDtypeStruct((rows_v, LANE), jnp.float32),
+                     jax.ShapeDtypeStruct((levels, LANE), jnp.int32))
+        extra_scratch = []
+    else:
+        out_specs = (
+            pl.BlockSpec((rows_v, LANE), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((levels, LANE), cmap, memory_space=pltpu.VMEM),
+        )
+        out_shape = (jax.ShapeDtypeStruct((rows_v, LANE), jnp.float32),
+                     jax.ShapeDtypeStruct((levels, LANE), jnp.int32))
+        extra_scratch = [pltpu.VMEM((rows_v, LANE), jnp.float32),  # lab
+                         pltpu.VMEM((rows_v, LANE), jnp.float32)]  # sig
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(levels, nblocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=extra_scratch + [
+            pltpu.VMEM((rows_v, LANE), jnp.float32),       # gated
+            pltpu.VMEM((block_rows, LANE), jnp.float32),   # scan
+            pltpu.VMEM((span_rows, LANE), jnp.int32),      # positions
+            pltpu.VMEM((span_rows, LANE), jnp.float32),    # window
+            pltpu.SMEM((1, 128), jnp.int32),               # slab ranges
+            pltpu.SMEM((1, 4), jnp.int32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SMEM((1, kgroups), jnp.int32),           # act
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),                   # init copies
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        # lab/sig/delta/gated are all VMEM-resident across levels:
+        # ~13 MB (fwd) / ~17 MB (bwd) at V=1M plus kernel stack — above
+        # the default 16 MB scoped-vmem budget.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(gob, d0row, dz, nt, *args)
+
+
+def _brandes_args(graph):
+    rows_v = graph.v_pad // LANE
+    return dict(rows_v=rows_v, rpg_v=rows_v // graph.pv2_groups,
+                span_rows=graph.pv2_span_rows,
+                block_rows=graph.pv2_block_rows)
+
+
+def brandes_fwd_levels(graph, lab: jax.Array, sig: jax.Array, *,
+                       d0, levels: int, interpret: bool = False):
+    """Run ``levels`` forward Brandes levels (depths d0..d0+levels-1) on
+    the pv2 layout. ``lab`` is f32 depth (+inf unreached), ``sig`` the
+    running path counts. Returns (lab', sig', discovered-per-level)."""
+    assert graph.has_pull2, "graph lacks the pull2 layout"
+    rows_v = graph.v_pad // LANE
+    lab2, sig2, chg = _brandes_call(
+        lab.astype(jnp.float32).reshape(rows_v, LANE),
+        sig.astype(jnp.float32).reshape(rows_v, LANE), None,
+        graph.pv2_src.reshape(-1, LANE),
+        graph.pv2_dst.reshape(-1, LANE),
+        graph.pv2_pos.reshape(-1, LANE),
+        graph.pv2_cb.reshape(-1, 128),
+        graph.pv2_gob, graph.pv2_d0row,
+        jnp.asarray(d0, jnp.int32).reshape(1), graph.pv2_nt,
+        fwd=True, levels=levels, interpret=interpret,
+        **_brandes_args(graph))
+    return lab2.reshape(-1), sig2.reshape(-1), chg[:, 0]
+
+
+def brandes_bwd_levels(graph, lab: jax.Array, sig: jax.Array,
+                       delta: jax.Array, *, t0, levels: int,
+                       interpret: bool = False):
+    """Run ``levels`` backward Brandes levels (rings t0 down to
+    t0-levels+1). Requires a symmetric edge set (the pull reduces over
+    in-edges; the backward recurrence needs out-edges). Returns
+    (delta', ring-size-per-level)."""
+    assert graph.has_pull2, "graph lacks the pull2 layout"
+    rows_v = graph.v_pad // LANE
+    dl, chg = _brandes_call(
+        lab.astype(jnp.float32).reshape(rows_v, LANE),
+        sig.astype(jnp.float32).reshape(rows_v, LANE),
+        delta.astype(jnp.float32).reshape(rows_v, LANE),
+        graph.pv2_src.reshape(-1, LANE),
+        graph.pv2_dst.reshape(-1, LANE),
+        graph.pv2_pos.reshape(-1, LANE),
+        graph.pv2_cb.reshape(-1, 128),
+        graph.pv2_gob, graph.pv2_d0row,
+        jnp.asarray(t0, jnp.int32).reshape(1), graph.pv2_nt,
+        fwd=False, levels=levels, interpret=interpret,
+        **_brandes_args(graph))
+    return dl.reshape(-1), chg[:, 0]

@@ -596,6 +596,14 @@ def _bfs_pull_sweeps(graph: DeviceGraph, src, *, mark_preds: bool,
     interp = jax.default_backend() != "tpu"
     rounds = int(os.environ.get("GUNROCK_BFS_SWEEP_CHUNK", "6"))
     budget = max_iters if max_iters is not None else 16384
+    # High-diameter bail-out: within a block the min-pull is Jacobi (the
+    # gather happens before the block's own window write), so Gauss-
+    # Seidel cascading only crosses BLOCK boundaries — a road/grid
+    # traversal advances ~1 hop per sweep (round-5 A/B: grid1024 took
+    # 2142 sweeps, 0.3 MTEPS vs the ladder's 3.5). Detect it from the
+    # early change rate and hand the traversal to the laddered path.
+    bail_total = int(os.environ.get("GUNROCK_SWEEP_BAIL", "48"))
+    bail_frac = float(os.environ.get("GUNROCK_SWEEP_BAIL_FRAC", "0.05"))
     total = 0
     arg = jnp.int32(src)
     cont = False
@@ -608,6 +616,9 @@ def _bfs_pull_sweeps(graph: DeviceGraph, src, *, mark_preds: bool,
         total += rounds
         if any(c == 0 for c in chg_np[0::2]) or total >= budget:
             break
+        if (sum(chgs) < bail_frac * graph.num_nodes
+                or total >= bail_total):
+            return None           # caller falls back to the ladder
         arg, cont = dist, True
     labels = jnp.where(jnp.isfinite(dist), dist, jnp.float32(INVALID)) \
         .astype(jnp.int32)
@@ -654,11 +665,15 @@ def bfs_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
             and instrument is None
             and (not mark_preds or graph.has_csc)
             and os.environ.get("GUNROCK_BFS_SWEEPS", "1") == "1"):
-        # Deep/high-diameter regime: level-synchronous rounds pay ~9 ms
-        # of V-scale buffer rewrites each on the tunnel; the Gauss-Seidel
+        # Low-diameter regime: level-synchronous rounds pay ~9 ms of
+        # V-scale buffer rewrites each on the tunnel; the Gauss-Seidel
         # sweep kernel keeps labels in VMEM across the whole traversal.
-        return _bfs_pull_sweeps(graph, src, mark_preds=mark_preds,
-                                max_iters=max_iters)
+        # Returns None on the high-diameter bail-out (see
+        # _bfs_pull_sweeps) — fall through to the laddered path.
+        out = _bfs_pull_sweeps(graph, src, mark_preds=mark_preds,
+                               max_iters=max_iters)
+        if out is not None:
+            return out
     # DO mode never materializes large (pull) frontiers as queues, so the
     # queue only needs capacity for push-mode frontiers (bounded by the
     # direction vote); a small queue keeps every push-branch frontier op

@@ -317,12 +317,17 @@ def cc_device(graph: DeviceGraph, *, instrument: Optional[list] = None):
     use_pallas = (jax.default_backend() == "tpu" and
                   graph.has_blocked_values)
     if (getattr(graph, "has_pull2", False) and instrument is None
-            and os.environ.get("GUNROCK_CC_SWEEPS", "1") == "1"):
+            and os.environ.get("GUNROCK_CC_SWEEPS", "0") == "1"):
         # Gauss-Seidel min-label propagation in VMEM (ops/pull2 kernel
         # B): comp[v] converges to the minimum vertex id of its weakly-
         # connected component in a few alternating sweeps — no per-round
         # V-scale buffer rewrites. Input must carry symmetric edges
         # (cc() symmetrizes; same contract as the hooking path).
+        # Opt-in (GUNROCK_CC_SWEEPS=1): the round-5 hardware A/B read
+        # 267 ms (6 sweeps) vs 160 ms hook+pointer-jump on rmat20 —
+        # min-LABEL needs the label to traverse the component, so it
+        # converges in O(label-distance) sweeps, not O(diameter), and
+        # each sweep is a full edge pass (BENCH.md round 5).
         return _cc_sweeps(graph)
     if graph.edge_src is None and not use_pallas:
         raise ValueError("CC needs to_device(with_edge_src=True)")

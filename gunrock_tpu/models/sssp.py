@@ -675,6 +675,11 @@ def _sssp_pull_sweeps(graph: DeviceGraph, src, *, mark_preds: bool,
     interp = jax.default_backend() != "tpu"
     rounds = int(os.environ.get("GUNROCK_SSSP_SWEEPS", "6"))
     budget = max_iters if max_iters is not None else 16384
+    # High-diameter bail-out (see models/bfs._bfs_pull_sweeps): within a
+    # block the min-pull is Jacobi, so grids/roads advance ~1 hop per
+    # sweep (grid1024: 2142 sweeps, 0.2 MTEPS vs near-far's 0.5).
+    bail_total = int(os.environ.get("GUNROCK_SWEEP_BAIL", "48"))
+    bail_frac = float(os.environ.get("GUNROCK_SWEEP_BAIL_FRAC", "0.05"))
     total = 0
     arg = jnp.int32(src)
     cont = False
@@ -695,6 +700,9 @@ def _sssp_pull_sweeps(graph: DeviceGraph, src, *, mark_preds: bool,
             t0 = t1
         if any(c == 0 for c in chg_np[0::2]) or total >= budget:
             break
+        if (sum(chgs) < bail_frac * graph.num_nodes
+                or total >= bail_total):
+            return None           # caller falls back to near-far
         arg, cont = dist, True
     preds = jnp.zeros((1,), jnp.int32)
     if mark_preds:
@@ -739,9 +747,14 @@ def sssp_device(graph: DeviceGraph, src, *, mark_preds: bool = False,
             os.environ.get("GUNROCK_SSSP_PULL2", "1") == "1":
         mode = "pull"
     if mode == "pull":
-        return _sssp_pull_sweeps(graph, src, mark_preds=mark_preds,
-                                 max_iters=max_iters,
-                                 instrument=instrument)
+        out = _sssp_pull_sweeps(graph, src, mark_preds=mark_preds,
+                                max_iters=max_iters,
+                                instrument=instrument)
+        if out is not None:
+            return out
+        # high-diameter bail-out: the near-far micro-queue is the
+        # road-class winner (BENCH.md round 4/5 deep A/Bs)
+        mode = "nearfar"
     fcap = max(128, int(graph.v_pad * min(queue_sizing, 1.0)))
     out_cap = max(128, int(graph.e_pad * min(queue_sizing, 1.0)))
     caps = tuple(capacity_ladder(out_cap, step=4))

@@ -179,19 +179,26 @@ def _pull2_kernel(rows_v: int, rpg_v: int, span_rows: int, block_rows: int,
             packed = cbbuf[0, t]
             c0 = packed >> 16
             c1 = packed & 0xFFFF
+            # live scan-row range from the positions themselves
+            # (monotone + carry-filled): visit 8-row sub-slabs over
+            # exactly [min, max] of the tile's valid rows — tighter
+            # than the 32-row cb ranges; a tile with no valid slot
+            # costs two reduces (lo > hi: zero trips).
+            lo = jnp.min(jnp.where(ok, lrow, BE)) // 8
+            hi = jnp.max(jnp.where(ok, lrow, -1)) // 8
 
             def visit(c, acc):
-                slab = scan_ref[pl.ds(c * slab_rows, slab_rows), :]
-                for u in range(slab_rows):
+                slab = scan_ref[pl.ds(c * 8, 8), :]
+                for u in range(8):
                     rowv = jnp.broadcast_to(slab[u:u + 1, :], (32, LANE))
-                    sel = ok & (lrow == c * slab_rows + u)
+                    sel = ok & (lrow == c * 8 + u)
                     acc = jnp.where(
                         sel, jnp.take_along_axis(rowv, llane, axis=1),
                         acc)
                 return acc
 
             contrib = jax.lax.fori_loop(
-                c0, c1 + 1, visit,
+                lo, hi + 1, visit,
                 jnp.full((32, LANE), identity, jnp.float32))
             win_ref[t * 32:(t + 1) * 32, :] = contrib
     cur = o_ref[pl.ds(d0, span_rows), :]
@@ -439,13 +446,17 @@ def _sweeps_kernel(rows_v: int, rpg_v: int, span_rows: int,
                 packed = cbbuf[0, t]
                 c0 = packed >> 16
                 c1 = packed & 0xFFFF
+                # live 8-row sub-slab range from the positions (see
+                # _pull2_kernel's extract walk)
+                lo = jnp.min(jnp.where(ok, lrow, BE)) // 8
+                hi = jnp.max(jnp.where(ok, lrow, -1)) // 8
 
                 def visit(c, acc):
-                    slab = scan_ref[pl.ds(c * slab_rows, slab_rows), :]
-                    for u in range(slab_rows):
+                    slab = scan_ref[pl.ds(c * 8, 8), :]
+                    for u in range(8):
                         rowv = jnp.broadcast_to(slab[u:u + 1, :],
                                                 (32, LANE))
-                        sel = ok & (lrow == c * slab_rows + u)
+                        sel = ok & (lrow == c * 8 + u)
                         acc = jnp.where(
                             sel,
                             jnp.take_along_axis(rowv, llane, axis=1),
@@ -453,7 +464,7 @@ def _sweeps_kernel(rows_v: int, rpg_v: int, span_rows: int,
                     return acc
 
                 contrib = jax.lax.fori_loop(
-                    c0, c1 + 1, visit,
+                    lo, hi + 1, visit,
                     jnp.full((32, LANE), identity, jnp.float32))
                 win_ref[t * 32:(t + 1) * 32, :] = contrib
 
@@ -698,19 +709,26 @@ def _power_kernel(rows_v: int, rpg_v: int, span_rows: int,
             packed = cbbuf[0, t]
             c0 = packed >> 16
             c1 = packed & 0xFFFF
+            # live scan-row range from the positions themselves
+            # (monotone + carry-filled): visit 8-row sub-slabs over
+            # exactly [min, max] of the tile's valid rows — tighter
+            # than the 32-row cb ranges; a tile with no valid slot
+            # costs two reduces (lo > hi: zero trips).
+            lo = jnp.min(jnp.where(ok, lrow, BE)) // 8
+            hi = jnp.max(jnp.where(ok, lrow, -1)) // 8
 
             def visit(c, acc):
-                slab = scan_ref[pl.ds(c * slab_rows, slab_rows), :]
-                for u in range(slab_rows):
+                slab = scan_ref[pl.ds(c * 8, 8), :]
+                for u in range(8):
                     rowv = jnp.broadcast_to(slab[u:u + 1, :], (32, LANE))
-                    sel = ok & (lrow == c * slab_rows + u)
+                    sel = ok & (lrow == c * 8 + u)
                     acc = jnp.where(
                         sel, jnp.take_along_axis(rowv, llane, axis=1),
                         acc)
                 return acc
 
             contrib = jax.lax.fori_loop(
-                c0, c1 + 1, visit, jnp.zeros((32, LANE), jnp.float32))
+                lo, hi + 1, visit, jnp.zeros((32, LANE), jnp.float32))
             win_ref[t * 32:(t + 1) * 32, :] = contrib
 
     def rmw(acc_ref):
@@ -1011,13 +1029,17 @@ def _brandes_kernel(rows_v: int, rpg_v: int, span_rows: int,
                 packed = cbbuf[0, t]
                 c0 = packed >> 16
                 c1 = packed & 0xFFFF
+                # live 8-row sub-slab range from the positions (see
+                # _pull2_kernel's extract walk)
+                lo = jnp.min(jnp.where(ok, lrow, BE)) // 8
+                hi = jnp.max(jnp.where(ok, lrow, -1)) // 8
 
                 def visit(c, a):
-                    slab = scan_ref[pl.ds(c * slab_rows, slab_rows), :]
-                    for u in range(slab_rows):
+                    slab = scan_ref[pl.ds(c * 8, 8), :]
+                    for u in range(8):
                         rowv = jnp.broadcast_to(slab[u:u + 1, :],
                                                 (32, LANE))
-                        sel = ok & (lrow == c * slab_rows + u)
+                        sel = ok & (lrow == c * 8 + u)
                         a = jnp.where(
                             sel,
                             jnp.take_along_axis(rowv, llane, axis=1),
@@ -1025,7 +1047,7 @@ def _brandes_kernel(rows_v: int, rpg_v: int, span_rows: int,
                     return a
 
                 contrib = jax.lax.fori_loop(
-                    c0, c1 + 1, visit,
+                    lo, hi + 1, visit,
                     jnp.zeros((32, LANE), jnp.float32))
                 win_ref[t * 32:(t + 1) * 32, :] = contrib
         lwin = lab_ref[pl.ds(d0, span_rows), :]
